@@ -1,0 +1,233 @@
+"""Temporal-attention motion modules (the AnimateDiff-style "motion module").
+
+Behavior spec: reference ``animatediff/models/motion_module.py`` —
+``VanillaTemporalModule`` (:51-95), ``TemporalTransformer3DModel`` (:98-208),
+``TemporalTransformerBlock`` (:211-283), ``PositionalEncoding`` (:286-304),
+``VersatileAttention`` (:328-464: attention runs along the *frame axis* per
+spatial location after the ``(b f) d c -> (b d) f c`` rearrange), and the
+temporal LoRA (:306-326). ``zero_initialize`` zero-inits ``proj_out`` so a
+freshly-inflated model reproduces the 2D UNet exactly.
+
+TPU design: the rearrange is a reshape/transpose XLA fuses away; temporal
+attention (seq = F ≤ 32, folded batch = B·H·W) is run through the shared
+attention dispatcher which keeps it on the fused-XLA path (a flash kernel has
+nothing to win at seq 32 — SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from followyourclick_tpu.config import MotionModuleConfig
+from followyourclick_tpu.models.attention import GEGLUFeedForward, _layer_norm
+from followyourclick_tpu.models.layers import GroupNorm, temporal_positional_encoding
+from followyourclick_tpu.models.rope import apply_rope, rope_tables
+from followyourclick_tpu.ops.attention import dot_product_attention
+
+
+class LoRADense(nn.Module):
+    """rank-decomposed residual projection (reference LoRALinearLayer
+    motion_module.py:306-326): down (normal/rank init) → up (zero init)."""
+
+    features: int
+    rank: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        down = nn.Dense(self.rank, use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(1.0 / self.rank),
+                        name="down")
+        up = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros, name="up")
+        return up(down(x))
+
+
+class TemporalAttention(nn.Module):
+    """VersatileAttention("Temporal_Self"): attention along the frame axis for
+    every spatial location, with sinusoidal PE or RoPE."""
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 40
+    cross_attention_dim: Optional[int] = None
+    temporal_position_encoding: bool = True
+    temporal_position_encoding_max_len: int = 24
+    use_rope: bool = False
+    train_video_length: int = 16
+    add_temporal_lora: bool = False
+    lora_rank: int = 4
+    upcast_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B·F, D, C)
+        video_length: int,
+        context: Optional[jnp.ndarray] = None,  # (B, Sk, Ck) for _Cross blocks
+        lora_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        bf, d, c = hidden_states.shape
+        b = bf // video_length
+        inner_dim = self.heads * self.dim_head
+
+        # (B·F, D, C) -> (B·D, F, C): attention along frames per pixel
+        x = hidden_states.reshape(b, video_length, d, c)
+        x = x.transpose(0, 2, 1, 3).reshape(b * d, video_length, c)
+
+        if self.temporal_position_encoding and not self.use_rope:
+            pe = temporal_positional_encoding(
+                self.temporal_position_encoding_max_len, c)
+            x = x + pe[:, :video_length].astype(x.dtype)
+
+        if context is not None:
+            ctx = jnp.repeat(context, d, axis=0)
+        else:
+            ctx = x
+
+        def proj(name, features, use_bias=False):
+            return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
+                            name=name)
+
+        q = proj("to_q", inner_dim)(x)
+        k = proj("to_k", inner_dim)(ctx)
+        v = proj("to_v", inner_dim)(ctx)
+        if self.add_temporal_lora:
+            q = q + lora_scale * LoRADense(inner_dim, self.lora_rank,
+                                           dtype=self.dtype, name="to_q_lora")(x)
+            k = k + lora_scale * LoRADense(inner_dim, self.lora_rank,
+                                           dtype=self.dtype, name="to_k_lora")(ctx)
+            v = v + lora_scale * LoRADense(inner_dim, self.lora_rank,
+                                           dtype=self.dtype, name="to_v_lora")(ctx)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if self.use_rope:
+            cos, sin = rope_tables(self.dim_head, video_length)
+            # (B·D, F, H, Dh) -> (B·D, H, F, Dh) rotate -> back
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            qh, kh = apply_rope(qh, kh, cos, sin,
+                                train_video_length=self.train_video_length,
+                                video_length=video_length)
+            q = qh.transpose(0, 2, 1, 3)
+            k = kh.transpose(0, 2, 1, 3)
+
+        if self.upcast_attention:
+            q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b * d, video_length, inner_dim).astype(x.dtype)
+
+        o = proj("to_out", self.query_dim, use_bias=True)(out)
+        if self.add_temporal_lora:
+            o = o + lora_scale * LoRADense(self.query_dim, self.lora_rank,
+                                           dtype=self.dtype,
+                                           name="to_out_lora")(out)
+
+        # back to (B·F, D, C)
+        o = o.reshape(b, d, video_length, self.query_dim)
+        return o.transpose(0, 2, 1, 3).reshape(bf, d, self.query_dim)
+
+
+class TemporalTransformerBlock(nn.Module):
+    """N temporal attentions (pre-LN, residual) + GEGLU FF
+    (reference motion_module.py:211-283)."""
+
+    dim: int
+    num_attention_heads: int
+    attention_head_dim: int
+    attention_block_types: Sequence[str] = ("Temporal_Self", "Temporal_Self")
+    cross_attention_dim: int = 768
+    temporal_position_encoding: bool = True
+    temporal_position_encoding_max_len: int = 24
+    use_rope: bool = False
+    train_video_length: int = 16
+    add_temporal_lora: bool = False
+    lora_rank: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, video_length: int,
+                 context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = hidden_states
+        for i, block_type in enumerate(self.attention_block_types):
+            is_cross = block_type.endswith("_Cross")
+            normed = _layer_norm(f"norms_{i}", self.dtype)(h)
+            h = TemporalAttention(
+                query_dim=self.dim,
+                heads=self.num_attention_heads,
+                dim_head=self.attention_head_dim,
+                cross_attention_dim=self.cross_attention_dim if is_cross else None,
+                temporal_position_encoding=self.temporal_position_encoding,
+                temporal_position_encoding_max_len=(
+                    self.temporal_position_encoding_max_len),
+                use_rope=self.use_rope,
+                train_video_length=self.train_video_length,
+                add_temporal_lora=self.add_temporal_lora,
+                lora_rank=self.lora_rank,
+                dtype=self.dtype,
+                name=f"attention_blocks_{i}",
+            )(h if False else normed, video_length=video_length,
+              context=context if is_cross else None) + h
+        normed = _layer_norm("ff_norm", self.dtype)(h)
+        h = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(normed) + h
+        return h
+
+
+class MotionModule(nn.Module):
+    """VanillaTemporalModule → TemporalTransformer3DModel:
+    GroupNorm → Linear proj_in → blocks → Linear proj_out (zero-init) → residual
+    (reference motion_module.py:51-208)."""
+
+    in_channels: int
+    config: MotionModuleConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray,
+                 context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        b, f, hh, ww, c = hidden_states.shape
+        inner_dim = c  # temporal_attention_dim_div=1 keeps full width
+        head_dim = c // cfg.num_attention_heads // cfg.temporal_attention_dim_div
+
+        x = hidden_states.reshape(b * f, hh, ww, c)
+        residual = x
+        x = GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                      name="norm")(x)
+        x = x.reshape(b * f, hh * ww, c)
+        x = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(x)
+
+        for i in range(cfg.num_transformer_block):
+            x = TemporalTransformerBlock(
+                dim=inner_dim,
+                num_attention_heads=cfg.num_attention_heads,
+                attention_head_dim=head_dim,
+                attention_block_types=tuple(cfg.attention_block_types),
+                temporal_position_encoding=cfg.temporal_position_encoding,
+                temporal_position_encoding_max_len=(
+                    cfg.temporal_position_encoding_max_len),
+                use_rope=cfg.use_rope_position_encoding,
+                train_video_length=cfg.train_video_length,
+                add_temporal_lora=cfg.add_temporal_lora,
+                lora_rank=cfg.lora_rank,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, video_length=f, context=context)
+
+        proj_out = nn.Dense(
+            c, dtype=self.dtype,
+            kernel_init=(nn.initializers.zeros if cfg.zero_initialize
+                         else nn.initializers.lecun_normal()),
+            bias_init=nn.initializers.zeros,
+            name="proj_out")
+        x = proj_out(x)
+        x = x.reshape(b * f, hh, ww, c) + residual
+        return x.reshape(b, f, hh, ww, c)

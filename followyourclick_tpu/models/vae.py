@@ -1,0 +1,192 @@
+"""AutoencoderKL — the SD-1.5 image VAE, NHWC.
+
+Behavior spec: reference ``diffusers/models/vae.py`` — ``Encoder`` (:67-145),
+``Decoder`` (:147-225), ``DiagonalGaussianDistribution`` (:341-387),
+``AutoencoderKL`` (:501-638, incl. quant/post_quant 1×1 convs); mid-block
+single-head attention is diffusers ``AttentionBlock``
+(``diffusers/models/attention.py:247``). Latent scale factor 0.18215 is applied
+by callers (reference ``pipeline_animation.py:402``), same here.
+
+The reference's ``enable_slicing`` / frame-at-a-time decode loop
+(``pipeline_animation.py:405-408``) is replaced by a rematerialized
+``lax.scan`` over frames in the pipeline — same memory ceiling, no host loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from followyourclick_tpu.config import VAEConfig
+from followyourclick_tpu.models.layers import GroupNorm
+
+
+class VAEResnetBlock(nn.Module):
+    """norm → SiLU → conv ×2 with 1×1 shortcut (no time embedding)."""
+
+    in_channels: int
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                      name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                      name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if self.in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class VAEAttentionBlock(nn.Module):
+    """Single-head spatial self-attention (diffusers AttentionBlock)."""
+
+    channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        y = GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                      name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="query")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="key")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="value")(y)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(c)))
+        logits = jnp.einsum("bqc,bkc->bqk", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+        y = jnp.einsum("bqk,bkc->bqc", weights, v)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_attn")(y)
+        return y.reshape(b, h, w, c) + residual
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        ch = cfg.block_out_channels
+        h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(x)
+        for i in range(len(cfg.down_block_types)):
+            out_ch = ch[i]
+            for j in range(cfg.layers_per_block):
+                in_ch = ch[max(i - 1, 0)] if j == 0 else out_ch
+                h = VAEResnetBlock(in_ch, out_ch, groups=cfg.norm_num_groups,
+                                   dtype=self.dtype,
+                                   name=f"down_{i}_resnet_{j}")(h)
+            if i < len(cfg.down_block_types) - 1:
+                # asymmetric (0,1) padding + stride-2 conv (diffusers
+                # Downsample2D with padding=0 → F.pad (0,1,0,1))
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                h = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        # mid
+        h = VAEResnetBlock(ch[-1], ch[-1], groups=cfg.norm_num_groups,
+                           dtype=self.dtype, name="mid_resnet_1")(h)
+        h = VAEAttentionBlock(ch[-1], groups=cfg.norm_num_groups,
+                              dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(ch[-1], ch[-1], groups=cfg.norm_num_groups,
+                           dtype=self.dtype, name="mid_resnet_2")(h)
+        h = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                      dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        ch = list(reversed(cfg.block_out_channels))
+        h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(z)
+        # mid
+        h = VAEResnetBlock(ch[0], ch[0], groups=cfg.norm_num_groups,
+                           dtype=self.dtype, name="mid_resnet_1")(h)
+        h = VAEAttentionBlock(ch[0], groups=cfg.norm_num_groups,
+                              dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(ch[0], ch[0], groups=cfg.norm_num_groups,
+                           dtype=self.dtype, name="mid_resnet_2")(h)
+        for i in range(len(cfg.up_block_types)):
+            out_ch = ch[i]
+            for j in range(cfg.layers_per_block + 1):
+                in_ch = ch[max(i - 1, 0)] if j == 0 else out_ch
+                h = VAEResnetBlock(in_ch, out_ch, groups=cfg.norm_num_groups,
+                                   dtype=self.dtype,
+                                   name=f"up_{i}_resnet_{j}")(h)
+            if i < len(cfg.up_block_types) - 1:
+                b, hh, ww, c = h.shape
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"up_{i}_upsample")(h)
+        h = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                      dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    """encode: image → (mean, logvar); decode: latent → image. Callers apply
+    the 0.18215 scaling (parity with the reference pipelines)."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.config, dtype=self.dtype)
+        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                  dtype=self.dtype, name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+                                       dtype=self.dtype,
+                                       name="post_quant_conv")
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x: jnp.ndarray, rng: jax.Array,
+                 sample_posterior: bool = False) -> jnp.ndarray:
+        mean, logvar = self.encode(x)
+        if sample_posterior:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, dtype=mean.dtype)
+        else:
+            z = mean
+        return self.decode(z)
+
+
+def sample_gaussian(mean: jnp.ndarray, logvar: jnp.ndarray,
+                    rng: jax.Array) -> jnp.ndarray:
+    """DiagonalGaussianDistribution.sample (reference vae.py:354)."""
+    return mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        rng, mean.shape, dtype=mean.dtype)

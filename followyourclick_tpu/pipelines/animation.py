@@ -1,0 +1,339 @@
+"""The Follow-Your-Click sampler: one jitted program per clip configuration.
+
+Behavior spec: reference ``animatediff/pipelines/pipeline_animation.py`` —
+``_encode_prompt`` CFG batching (:158-245), ``prepare_latents`` with shared
+first-frame noise + init-latent alpha blend (:448-537), the per-step
+first-frame masked-latent concat (latents ⧺ mask ⧺ first-frame-latent-block on
+the channel axis, :690-711), CFG plus the optional 3-term ``video_scale``
+guidance with a per-frame uncond pass (:738-761), DDIM step (:767), and
+per-frame VAE decode (:400-413).
+
+TPU-first design (BASELINE.json north star): the reference drives the loop
+from Python with a device sync per step; here the *entire* denoise loop is one
+``jax.lax.scan`` inside one jit — text encode → scan(UNet ×2·steps) → frame-
+scanned VAE decode run as a single XLA program with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followyourclick_tpu.config import InferenceConfig
+from followyourclick_tpu.models.clip_text import CLIPTextModel
+from followyourclick_tpu.models.unet3d import UNet3DConditionModel, UNetConditioning
+from followyourclick_tpu.models.vae import AutoencoderKL
+from followyourclick_tpu.schedulers.ddim import DDIMSchedule, ddim_step
+
+VAE_SCALE = 0.18215  # SD latent scaling (reference pipeline_animation.py:402)
+
+
+@flax.struct.dataclass
+class SampleSpec:
+    """Static sampling configuration — one XLA program per distinct spec."""
+
+    video_length: int = flax.struct.field(pytree_node=False, default=16)
+    height: int = flax.struct.field(pytree_node=False, default=512)
+    width: int = flax.struct.field(pytree_node=False, default=512)
+    num_inference_steps: int = flax.struct.field(pytree_node=False, default=25)
+    guidance_scale: float = flax.struct.field(pytree_node=False, default=8.0)
+    video_scale: float = flax.struct.field(pytree_node=False, default=0.0)
+    use_interpolate_noise: bool = flax.struct.field(pytree_node=False,
+                                                    default=True)
+    # init-image alpha-decay blend (use_first_image_as_init_latents)
+    use_first_image_as_init_latents: bool = flax.struct.field(
+        pytree_node=False, default=False)
+    init_alpha_k: float = flax.struct.field(pytree_node=False, default=64.0)
+    use_residual_noise: bool = flax.struct.field(pytree_node=False,
+                                                 default=False)
+    base_lambda: float = flax.struct.field(pytree_node=False, default=0.9)
+    eta: float = flax.struct.field(pytree_node=False, default=0.0)
+
+
+class AnimationPipeline:
+    """Bundles the models + params; host-side prompt handling, jitted core.
+
+    Weight loading mirrors the reference assembly (scripts/inference.py:152-247)
+    through ``followyourclick_tpu.utils.loaders``.
+    """
+
+    def __init__(
+        self,
+        config: InferenceConfig,
+        unet_params,
+        vae_params,
+        text_encoder_params,
+        tokenizer=None,
+        dtype=jnp.float32,
+        mesh=None,
+    ):
+        self.config = config
+        self.dtype = dtype
+        self.unet = UNet3DConditionModel(config.unet, dtype=dtype)
+        if config.unet.use_fps_condition:
+            # per-frame uncond pass for video_scale guidance runs without fps
+            # conditioning (reference pipeline_animation.py:744-751 calls the
+            # UNet with text only)
+            self.unet_plain = UNet3DConditionModel(
+                dataclasses.replace(config.unet, use_fps_condition=False),
+                dtype=dtype)
+        else:
+            self.unet_plain = self.unet
+        self.vae = AutoencoderKL(config.vae, dtype=dtype)
+        self.text_encoder = CLIPTextModel(config.clip_text, dtype=dtype)
+        self.params = {
+            "unet": unet_params,
+            "vae": vae_params,
+            "text_encoder": text_encoder_params,
+        }
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    # host-side text handling (reference _encode_prompt tokenization part)
+    # ------------------------------------------------------------------
+    def tokenize(self, prompts: Sequence[str],
+                 negative_prompts: Optional[Sequence[str]] = None):
+        assert self.tokenizer is not None, "pipeline built without tokenizer"
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        enc = self.tokenizer(list(prompts), padding="max_length",
+                             max_length=77, truncation=True,
+                             return_tensors="np")
+        neg = self.tokenizer(list(negative_prompts), padding="max_length",
+                             max_length=77, truncation=True,
+                             return_tensors="np")
+        return np.asarray(enc.input_ids), np.asarray(neg.input_ids)
+
+    # ------------------------------------------------------------------
+    # jitted pieces
+    # ------------------------------------------------------------------
+    def encode_prompt(self, params, input_ids: jnp.ndarray,
+                      neg_input_ids: jnp.ndarray) -> jnp.ndarray:
+        """CFG context: concat([uncond, cond]) on batch (reference order)."""
+        cond, _ = self.text_encoder.apply({"params": params["text_encoder"]},
+                                          input_ids)
+        uncond, _ = self.text_encoder.apply({"params": params["text_encoder"]},
+                                            neg_input_ids)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def encode_image(self, params, image: jnp.ndarray,
+                     rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """image (B, H, W, 3) in [-1, 1] → scaled latent (B, h, w, 4).
+        Uses the distribution mean unless an rng is supplied
+        (reference scripts/inference.py:356-358 samples)."""
+        mean, logvar = self.vae.apply({"params": params["vae"]}, image,
+                                      method=self.vae.encode)
+        if rng is not None:
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, dtype=mean.dtype)
+        return mean * VAE_SCALE
+
+    def prepare_latents(self, rng: jax.Array, batch: int, spec: SampleSpec,
+                        init_latents: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+        """Initial noise (B, F, h, w, 4) (reference prepare_latents :448-537)."""
+        f = spec.video_length
+        h, w = spec.height // 8, spec.width // 8
+        noise = jax.random.normal(rng, (batch, f, h, w, 4), dtype=jnp.float32)
+        if spec.use_interpolate_noise:
+            noise = jnp.broadcast_to(noise[:, :1], noise.shape)
+        latents = noise
+        if spec.use_first_image_as_init_latents and init_latents is not None:
+            # alpha decays along frames: (F - i) / F / k
+            i = jnp.arange(f, dtype=jnp.float32)
+            alpha = ((f - i) / f / spec.init_alpha_k)[None, :, None, None, None]
+            latents = init_latents[:, None] * alpha + latents * (1 - alpha)
+        if spec.use_residual_noise:
+            base = jnp.broadcast_to(latents[:, :1], latents.shape)
+            mixed = (spec.base_lambda ** 0.5) * base + \
+                ((1 - spec.base_lambda) ** 0.5) * latents
+            latents = mixed.at[:, 0].set(base[:, 0])
+        return latents.astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    def _unet_apply(self, params, sample, t, cond):
+        return self.unet.apply({"params": params}, sample, t, cond)
+
+    def denoise(
+        self,
+        params,
+        latents: jnp.ndarray,            # (B, F, h, w, 4)
+        context: jnp.ndarray,            # (2B, 77[+N], 768) [uncond; cond]
+        spec: SampleSpec,
+        first_image_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 4)
+        mask: Optional[jnp.ndarray] = None,                 # (B, h, w, 1)
+        partial_mask: Optional[jnp.ndarray] = None,         # latent corruption
+        fps: Optional[jnp.ndarray] = None,                  # (B,)
+        motion_score: Optional[jnp.ndarray] = None,         # (B,)
+        camera_motion_type: Optional[jnp.ndarray] = None,
+        context_t5: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """The fused CFG denoising scan. Returns final latents."""
+        ucfg = self.config.unet
+        b, f, h, w, _ = latents.shape
+        sched = DDIMSchedule.create(self.config.noise_scheduler,
+                                    spec.num_inference_steps)
+        do_cfg = spec.guidance_scale > 1.0
+        mult = 2 if do_cfg else 1
+
+        def dup(x):
+            if x is None or not do_cfg:
+                return x
+            return jnp.concatenate([x] * 2, axis=0)
+
+        cond = UNetConditioning(
+            context=context,
+            fps=dup(fps), motion_score=dup(motion_score),
+            camera_motion_type=dup(camera_motion_type),
+            context_t5=context_t5,
+        )
+
+        # static per-step conditioning blocks (reference :690-704)
+        use_mask_concat = ucfg.use_first_frame_mask_condition_concat
+        if use_mask_concat:
+            assert first_image_latents is not None
+            ffl = first_image_latents
+            if partial_mask is not None:
+                # training-style conditioning corruption replica
+                # (reference scripts/inference.py:370-372, pipeline :698-699)
+                ffl = ffl * partial_mask
+            frame_idx = jnp.arange(f)[None, :, None, None, None]
+            first_block = jnp.where(frame_idx == 0, ffl[:, None],
+                                    jnp.zeros_like(ffl[:, None]))
+            first_block = jnp.broadcast_to(first_block, (b, f, h, w, 4))
+            if mask is not None:
+                mask_block = jnp.clip(mask[:, None], 0.0, 1.0)
+                mask_block = jnp.broadcast_to(mask_block, (b, f, h, w, 1))
+            else:
+                mask_block = jnp.broadcast_to(
+                    (frame_idx == 0).astype(latents.dtype), (b, f, h, w, 1))
+            cond_channels = jnp.concatenate(
+                [mask_block.astype(latents.dtype),
+                 first_block.astype(latents.dtype)], axis=-1)
+            cond_channels = dup(cond_channels)
+
+        if ucfg.use_first_frame_condition_concat:
+            cond = cond.replace(reference_images_latent=dup(
+                first_image_latents))
+
+        plain_context = context[:b]  # uncond half for the per-frame pass
+
+        def step(carry, i):
+            latents = carry
+            t = sched.timesteps[i]
+            x = latents
+            if use_mask_concat:
+                x = jnp.concatenate([dup(x), cond_channels], axis=-1) \
+                    if do_cfg else jnp.concatenate([x, cond_channels], axis=-1)
+            else:
+                x = dup(x)
+            t_batch = jnp.broadcast_to(t, (b * mult,))
+            noise_pred = self._unet_apply(params["unet"], x, t_batch, cond)
+
+            if do_cfg:
+                uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
+                if spec.video_scale > 0:
+                    # per-frame uncond pass: frames folded to batch, F=1,
+                    # text-only conditioning (reference :738-751)
+                    xs = jnp.split(x, 2, axis=0)[0]
+                    xs = xs.reshape(b * f, 1, h, w, xs.shape[-1])
+                    ctx_f = jnp.repeat(plain_context, f, axis=0)
+                    frame_pred = self.unet_plain.apply(
+                        {"params": params["unet"]}, xs,
+                        jnp.broadcast_to(t, (b * f,)),
+                        UNetConditioning(context=ctx_f))
+                    frame_pred = frame_pred.reshape(b, f, h, w, 4)
+                    noise_pred = (
+                        frame_pred
+                        + spec.video_scale * (uncond_pred - frame_pred)
+                        + spec.guidance_scale * (text_pred - uncond_pred))
+                else:
+                    noise_pred = uncond_pred + spec.guidance_scale * (
+                        text_pred - uncond_pred)
+
+            new_latents, _ = ddim_step(sched, noise_pred, i, latents,
+                                       eta=spec.eta)
+            return new_latents, ()
+
+        latents, _ = jax.lax.scan(step, latents,
+                                  jnp.arange(spec.num_inference_steps))
+        return latents
+
+    def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        """(B, F, h, w, 4) → video (B, F, H, W, 3) in [0, 1]; frames decoded
+        under a rematerialized scan (reference decode_latents :400-413)."""
+        z = latents.astype(self.dtype) / VAE_SCALE
+
+        @jax.checkpoint
+        def decode_frame(z_f):
+            return self.vae.apply({"params": params["vae"]}, z_f,
+                                  method=self.vae.decode)
+
+        # (B, F, h, w, 4) -> (F, B, h, w, 4) scan over frames
+        frames = jax.lax.map(decode_frame, z.transpose(1, 0, 2, 3, 4))
+        video = frames.transpose(1, 0, 2, 3, 4)
+        return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0).astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("spec",))
+    def _sample_jit(self, params, input_ids, neg_input_ids, rng, spec,
+                    first_image_latents=None, mask=None, fps=None,
+                    motion_score=None, camera_motion_type=None):
+        context = self.encode_prompt(params, input_ids, neg_input_ids)
+        b = input_ids.shape[0]
+        latents = self.prepare_latents(
+            rng, b, spec,
+            init_latents=(first_image_latents
+                          if spec.use_first_image_as_init_latents else None))
+        latents = self.denoise(
+            params, latents, context, spec,
+            first_image_latents=first_image_latents, mask=mask, fps=fps,
+            motion_score=motion_score, camera_motion_type=camera_motion_type)
+        return self.decode_latents(params, latents)
+
+    def __call__(
+        self,
+        prompt: Sequence[str] | str,
+        negative_prompt: Optional[Sequence[str] | str] = None,
+        spec: SampleSpec = SampleSpec(),
+        first_image_latents=None,
+        mask=None,
+        fps: float | None = 8.0,
+        motion_score: float | None = 20.0,
+        camera_motion_type: float | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """End-to-end: prompts (+ image latents + click mask) → video array
+        (B, F, H, W, 3) float32 in [0, 1]."""
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+        input_ids, neg_ids = self.tokenize(prompt, negative_prompt)
+        b = input_ids.shape[0]
+
+        def bcast(v):
+            if v is None:
+                return None
+            return jnp.full((b,), v, dtype=jnp.float32)
+
+        fps_arr = bcast(fps) if self.config.unet.use_fps_condition else None
+        ms_arr = (bcast(motion_score)
+                  if self.config.unet.use_fps_condition else None)
+        cam_arr = (bcast(camera_motion_type)
+                   if self.config.unet.use_camera_motion_condition else None)
+
+        video = self._sample_jit(
+            self.params, jnp.asarray(input_ids), jnp.asarray(neg_ids),
+            jax.random.PRNGKey(seed), spec,
+            first_image_latents=first_image_latents, mask=mask,
+            fps=fps_arr, motion_score=ms_arr, camera_motion_type=cam_arr)
+        return np.asarray(video)
