@@ -1,0 +1,217 @@
+"""Main inference CLI — image + click mask + motion prompt → video.
+
+Behavior spec: reference ``scripts/inference.py`` — the argparse flag surface
+(:433-481), txt/xlsx prompt manifests (:53-101), positive/negative prompt
+suffixes (:106-109), per-model prompt YAML (``configs/prompts/*.yaml``), host
+preprocessing (:314-365), gif output + config snapshot (:416-427).
+
+TPU replacements: DDP flags become host-level prompt sharding over
+``jax.process_index`` (``parallel.mesh.process_shard``); ``--gpu_id`` is gone;
+everything on-device runs through one jitted pipeline program.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from typing import List, Optional, Tuple
+
+POS_PROMPT = (", ultra quality, film grain, 8K UHD, masterpiece,  high "
+              "detailed, extremely detailed, photorealistic, dramatic and "
+              "cinematic lighting")
+NEG_PROMPT = ("low resolution, low quality, lowres, worst quality,  noisy, "
+              "duplicate, repeat, double, ugly, obese, deformed, render, "
+              "rendered, bad anatomy,  text, watermark, bad anatomy, bad "
+              "hands, text, missing finger,extra fingers")
+
+
+def load_prompt_manifest(path: str) -> List[dict]:
+    """txt (one prompt/line) or xlsx (prompt,image[,mask] columns) manifests
+    (reference PromptDataset / PromptAndImgDataset, inference.py:53-101)."""
+    items = []
+    if path.endswith((".xlsx", ".xls", ".csv")):
+        import pandas as pd
+
+        if path.endswith(".csv"):
+            df = pd.read_csv(path)
+        else:
+            try:
+                df = pd.read_excel(path)
+            except ImportError as e:
+                raise ImportError(
+                    f"reading {path} needs openpyxl; convert the manifest to "
+                    f".csv with the same columns (prompt,image[,mask])") from e
+        for i, row in df.iterrows():
+            image = row.get("image")
+            if image and not os.path.exists(str(image)):
+                continue
+            mask = row.get("mask")
+            if (mask is None or str(mask) == "nan") and image:
+                p = str(image)
+                stem, ext = os.path.splitext(os.path.basename(p))
+                cand = os.path.join(os.path.dirname(p) + "_mask", stem + ext)
+                mask = cand if os.path.exists(cand) else None
+            items.append({"prompt": str(row["prompt"]), "idx": int(i),
+                          "image": image, "mask": mask})
+    else:
+        with open(path) as f:
+            for i, line in enumerate(f):
+                line = line.strip("\n")
+                if line:
+                    items.append({"prompt": line, "idx": i,
+                                  "image": None, "mask": None})
+    return items
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Follow-Your-Click TPU inference")
+    p.add_argument("--output_path", type=str, default="output_path")
+    p.add_argument("--pretrained_model_path", type=str,
+                   default="stable-diffusion-v1-5")
+    p.add_argument("--image_pretrained_model_path", type=str, default="")
+    p.add_argument("--inference_config", type=str,
+                   default="configs/inference/inference.yaml")
+    p.add_argument("--config", type=str, required=True,
+                   help="per-model prompt yaml")
+    p.add_argument("--file", type=str, required=True,
+                   help="txt or xlsx prompt manifest")
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--L", type=int, default=16)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--video_scale", type=float, default=0.0)
+    p.add_argument("--use_fps_condition", action="store_true", default=False)
+    p.add_argument("--fps", type=int, default=2)
+    p.add_argument("--flw_ctrl", type=int, default=4,
+                   help="motion score (optical-flow magnitude) conditioning")
+    p.add_argument("--use_ip", type=str, default="",
+                   choices=["", "raw", "plus"])
+    p.add_argument("--manually_input_image", action="store_true",
+                   default=False)
+    p.add_argument("--crop_method", type=str,
+                   choices=["resize_and_crop", "crop"], default="crop")
+    p.add_argument("--use_first_image_as_init_latents", action="store_true",
+                   default=False)
+    p.add_argument("--mask_first_frame", action="store_true", default=False)
+    p.add_argument("--use_interpolate_noise", action="store_true",
+                   default=False)
+    p.add_argument("--dtype", type=str, default="auto",
+                   choices=["auto", "bfloat16", "float32"])
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    from followyourclick_tpu.config import InferenceConfig
+    from followyourclick_tpu.parallel.mesh import (
+        initialize_distributed,
+        process_shard,
+    )
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+    from followyourclick_tpu.utils.loaders import (
+        assemble_pipeline_from_pretrained,
+    )
+    from followyourclick_tpu.utils.video_io import (
+        downsample_mask_to_latent,
+        load_image_and_mask,
+        save_videos_grid,
+    )
+
+    args = build_arg_parser().parse_args(argv)
+    initialize_distributed()
+
+    time_str = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    savedir = os.path.join(args.output_path,
+                           f"{os.path.splitext(os.path.basename(args.config))[0]}-{time_str}")
+    os.makedirs(savedir, exist_ok=True)
+
+    inference_config = InferenceConfig.from_yaml(args.inference_config)
+    with open(args.config) as f:
+        model_config = yaml.safe_load(f)
+
+    items = load_prompt_manifest(args.file)
+    shard = list(process_shard(len(items)))
+
+    dtype = {"auto": None, "bfloat16": jnp.bfloat16,
+             "float32": jnp.float32}[args.dtype]
+
+    for model_name, mc in model_config.items():
+        motion_modules = mc.get("motion_module") or [None]
+        if isinstance(motion_modules, str):
+            motion_modules = [motion_modules]
+        for mm_path in motion_modules:
+            pipe = assemble_pipeline_from_pretrained(
+                args.pretrained_model_path, inference_config,
+                motion_module_path=mm_path,
+                personalized_ckpt_path=mc.get("path") or None,
+                lora_path=mc.get("lora") or None,
+                lora_alpha=mc.get("lora_alpha", 0.6),
+                dtype=dtype)
+
+            steps = int(mc.get("steps", 25))
+            guidance = float(mc.get("guidance_scale", 8.0))
+            spec = SampleSpec(
+                video_length=args.L, height=args.H, width=args.W,
+                num_inference_steps=steps, guidance_scale=guidance,
+                video_scale=args.video_scale,
+                use_interpolate_noise=args.use_interpolate_noise,
+                use_first_image_as_init_latents=(
+                    args.use_first_image_as_init_latents))
+
+            seeds = mc.get("seed", [args.seed])
+            if not isinstance(seeds, list):
+                seeds = [seeds]
+
+            for idx in shard:
+                item = items[idx]
+                prompt = item["prompt"] + POS_PROMPT
+                neg = mc.get("n_prompt", [NEG_PROMPT])
+                neg = neg[0] if isinstance(neg, list) else neg
+
+                first_latents = mask_latent = None
+                if item.get("image"):
+                    img, mask = load_image_and_mask(
+                        item["image"], item.get("mask"), args.H, args.W)
+                    img_j = jnp.asarray(img)[None]
+                    first_latents = pipe.encode_image(pipe.params, img_j)
+                    if mask is not None:
+                        m = downsample_mask_to_latent(
+                            mask, args.H // 8, args.W // 8)
+                        mask_latent = jnp.asarray(m)[None]
+
+                partial_mask = None
+                if args.mask_first_frame and first_latents is not None:
+                    # conditioning-corruption replica (inference.py:370-372)
+                    rng = np.random.RandomState(0)
+                    partial_mask = jnp.asarray(
+                        (rng.rand(*first_latents.shape) > 0.5)
+                        .astype(np.float32))
+                    first_latents = first_latents * partial_mask
+
+                seed = seeds[0] if seeds else -1
+                if seed is None or int(seed) < 0:
+                    seed = np.random.randint(0, 2 ** 31 - 1)
+                video = pipe(
+                    [prompt], negative_prompt=[neg], spec=spec,
+                    first_image_latents=first_latents, mask=mask_latent,
+                    fps=float(args.fps), motion_score=float(args.flw_ctrl),
+                    seed=int(seed))
+                name = f"{item['idx']}-{prompt[:60].replace('/', '')}.gif"
+                save_videos_grid(video, os.path.join(savedir, name),
+                                 fps=8)
+                print(f"[{model_name}] saved {name}")
+
+    with open(os.path.join(savedir, "config_snapshot.yaml"), "w") as f:
+        yaml.safe_dump({"args": vars(args), "models": model_config}, f)
+
+
+if __name__ == "__main__":
+    main()

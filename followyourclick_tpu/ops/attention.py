@@ -13,10 +13,14 @@ xformers behavior, and required for bf16 stability).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# global override for experiments/benchmarks: "auto" | "flash" | "xla"
+_IMPL_OVERRIDE = os.environ.get("FYC_ATTN_IMPL", "")
 
 
 def _xla_attention(
@@ -54,14 +58,22 @@ def dot_product_attention(
     if scale is None:
         scale = query.shape[-1] ** -0.5
 
+    if _IMPL_OVERRIDE:
+        impl = _IMPL_OVERRIDE
     use_flash = False
     if impl == "flash":
-        use_flash = True
+        use_flash = bias is None
     elif impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # flash pays off when the score matrix is large; kv seq 77/tokens and
-        # temporal F<=32 stay on the fused-XLA path
-        use_flash = on_tpu and bias is None and key.shape[1] >= 512
+        # Measured on v5e (16f 512px pipeline): XLA's materialized-scores
+        # attention beats the flash kernel while the score tensor fits
+        # comfortably in HBM; flash takes over when scores would blow the
+        # memory budget (batched serving, long seq).
+        b, sq, h, _ = query.shape
+        sk = key.shape[1]
+        score_bytes = b * h * sq * sk * 2  # bf16
+        use_flash = (on_tpu and bias is None and sk >= 1024
+                     and score_bytes > 4 * 1024 ** 3)
     if use_flash:
         from followyourclick_tpu.ops.flash_attention import flash_attention
 

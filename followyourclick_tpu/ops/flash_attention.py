@@ -36,13 +36,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32)          # (bq, d)
-    k = k_ref[0].astype(jnp.float32)          # (bk, d)
-    v = v_ref[0].astype(jnp.float32)          # (bk, d)
+    q = q_ref[0]                               # (bq, d) — native dtype: the
+    k = k_ref[0]                               # MXU runs bf16 inputs at full
+    v = v_ref[0]                               # rate with fp32 accumulation
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (bq, bk)
+        preferred_element_type=jnp.float32) * scale   # (bq, bk) fp32
 
     # mask out kv padding of the last block
     if kv_len % block_k != 0:
@@ -59,7 +59,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
 
     l_new = alpha * l_scratch[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     m_scratch[:] = m_new
     l_scratch[:] = l_new

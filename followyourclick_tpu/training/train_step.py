@@ -1,0 +1,182 @@
+"""Training step — reconstructed from the released training config (the
+reference shipped no training script; SURVEY.md §0).
+
+Spec sources: ``configs/training/training_14M_448x256_part_img_embed_mask_
+condition_zero_snr_sd1.5_img_as_vid_for_train_all_parameters.yaml`` —
+v-prediction + zero-SNR DDIM regime, first-frame masked-latent conditioning
+with corruption rates ``[0, 0.3, 0.5, 0.7]``
+(``use_first_frame_mask_condition_concat_image_mask_rate``), trainable-module
+name filters (``motion_modules., conv_in, motion_embedding, fps``), lr 1e-5,
+and the conv_in/mask concat semantics of ``pipeline_animation.py:690-711``.
+
+TPU-first: one pure jitted ``train_step`` (loss → grads → masked AdamW
+update), pjit-able over a (data, model) mesh; gradient checkpointing via
+``jax.checkpoint`` policy on the UNet apply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from followyourclick_tpu.config import InferenceConfig
+from followyourclick_tpu.models.unet3d import UNet3DConditionModel, UNetConditioning
+from followyourclick_tpu.models.vae import AutoencoderKL
+from followyourclick_tpu.models.clip_text import CLIPTextModel
+from followyourclick_tpu.schedulers.ddim import (
+    DDIMSchedule,
+    add_noise,
+    get_velocity,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    # reference trainable_modules name-prefix filters
+    trainable_modules: Sequence[str] = (
+        "motion_modules", "conv_in", "motion_embedding", "fps_embedding")
+    # mask-corruption rates for the first-frame conditioning latent
+    mask_corruption_rates: Sequence[float] = (0.0, 0.3, 0.5, 0.7)
+    gradient_checkpointing: bool = True
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState = flax.struct.field(pytree_node=True)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def trainable_mask(params: dict, prefixes: Sequence[str]) -> dict:
+    """Boolean pytree: True where any path segment starts with a prefix
+    (reference trainable_modules filter semantics)."""
+
+    def walk(tree, matched):
+        if not isinstance(tree, dict):
+            return matched
+        return {
+            k: walk(v, matched or any(k.startswith(p) for p in prefixes))
+            for k, v in tree.items()
+        }
+
+    return walk(params, False)
+
+
+def create_train_state(params: dict, cfg: TrainConfig) -> TrainState:
+    mask = trainable_mask(params, tuple(cfg.trainable_modules))
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.multi_transform(
+            {"train": optax.adamw(cfg.learning_rate, b1=cfg.adam_beta1,
+                                  b2=cfg.adam_beta2, eps=cfg.adam_eps,
+                                  weight_decay=cfg.weight_decay),
+             "freeze": optax.set_to_zero()},
+            labels),
+    )
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx)
+
+
+@flax.struct.dataclass
+class TrainBatch:
+    """One training batch (video-as-latent path; the dataset layer produces
+    pixel videos — VAE encoding happens in ``encode_batch``)."""
+
+    latents: jnp.ndarray        # (B, F, h, w, 4) clean scaled latents
+    input_ids: jnp.ndarray      # (B, 77)
+    mask: jnp.ndarray           # (B, h, w, 1) motion-area / click mask
+    fps: jnp.ndarray            # (B,) dynamic-fps conditioning
+    motion_score: jnp.ndarray   # (B,) optical-flow magnitude
+
+
+def encode_batch(vae: AutoencoderKL, vae_params, video: jnp.ndarray,
+                 rng: jax.Array) -> jnp.ndarray:
+    """(B, F, H, W, 3) in [-1,1] → scaled latents, frames folded."""
+    b, f, h, w, c = video.shape
+    mean, logvar = vae.apply({"params": vae_params},
+                             video.reshape(b * f, h, w, c),
+                             method=vae.encode)
+    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        rng, mean.shape, dtype=mean.dtype)
+    return z.reshape(b, f, h // 8, w // 8, 4) * 0.18215
+
+
+def train_step(
+    state: TrainState,
+    batch: TrainBatch,
+    rng: jax.Array,
+    *,
+    unet: UNet3DConditionModel,
+    text_encoder: CLIPTextModel,
+    text_params: dict,
+    sched: DDIMSchedule,
+    cfg: TrainConfig,
+) -> Tuple[TrainState, dict]:
+    """One v-prediction training step with masked-latent conditioning."""
+    b, f, h, w, _ = batch.latents.shape
+    rng_t, rng_noise, rng_rate, rng_corrupt = jax.random.split(rng, 4)
+
+    timesteps = jax.random.randint(
+        rng_t, (b,), 0, sched.cfg.num_train_timesteps)
+    noise = jax.random.normal(rng_noise, batch.latents.shape,
+                              dtype=batch.latents.dtype)
+    noisy = add_noise(sched, batch.latents, noise, timesteps)
+    target = get_velocity(sched, batch.latents, noise, timesteps)
+
+    # conditioning: first-frame latent + mask channel, with random corruption
+    # (use_frame_conditioning_corruption + image_mask_rate in the config)
+    rates = jnp.asarray(cfg.mask_corruption_rates, dtype=jnp.float32)
+    rate = rates[jax.random.randint(rng_rate, (b,), 0, len(rates))]
+    keep = (jax.random.uniform(rng_corrupt, (b, h, w, 1))
+            >= rate[:, None, None, None]).astype(batch.latents.dtype)
+    first_latent = batch.latents[:, 0] * keep
+
+    frame_idx = jnp.arange(f)[None, :, None, None, None]
+    first_block = jnp.where(frame_idx == 0, first_latent[:, None], 0.0)
+    first_block = jnp.broadcast_to(first_block, (b, f, h, w, 4))
+    mask_block = jnp.broadcast_to(
+        jnp.clip(batch.mask, 0.0, 1.0)[:, None], (b, f, h, w, 1))
+    model_in = jnp.concatenate(
+        [noisy, mask_block.astype(noisy.dtype),
+         first_block.astype(noisy.dtype)], axis=-1)
+
+    context, _ = text_encoder.apply({"params": text_params}, batch.input_ids)
+    cond = UNetConditioning(context=context, fps=batch.fps,
+                            motion_score=batch.motion_score)
+
+    def loss_fn(params):
+        apply = unet.apply
+        if cfg.gradient_checkpointing:
+            apply = jax.checkpoint(
+                unet.apply, policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=())
+        pred = apply({"params": params}, model_in, timesteps, cond)
+        loss = jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss,
+               "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics

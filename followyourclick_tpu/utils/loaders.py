@@ -1,0 +1,204 @@
+"""Checkpoint loading & pipeline assembly (the reference's model-assembly
+surface, ``scripts/inference.py:152-247``).
+
+Covers all four dialects (SURVEY.md §5.4):
+- HF ``from_pretrained`` directories (``diffusion_pytorch_model.bin`` /
+  ``model.safetensors`` per subfolder);
+- DDP-prefixed motion-module ``.ckpt`` pickles (``module.`` stripped,
+  ``state_dict``-wrapped, loaded non-strict);
+- LDM ``.safetensors``/``.ckpt`` full SD checkpoints (via ``utils/ldm.py``);
+- LoRA (``utils/lora.py``).
+
+Also implements ``from_pretrained_2d`` inflation semantics
+(reference ``unet.py:674-726``): 2D SD weights load into the 3D model with the
+widened conv_in zero-padded beyond the first 4 input channels, motion modules
+left at their zero-initialized state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def load_torch_file(path: str) -> Dict:
+    """Load a ``.ckpt``/``.bin``/``.pt`` pickle or ``.safetensors`` file into
+    a flat numpy state dict (``module.`` prefixes stripped,
+    ``{'state_dict': ...}`` unwrapped — reference scripts/inference.py:170-181)."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for key in f.keys():
+                out[key] = f.get_tensor(key)
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        out = {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+               for k, v in raw.items()}
+    return {k.removeprefix("module."): v for k, v in out.items()}
+
+
+def load_hf_subfolder(model_dir: str, subfolder: str) -> Dict:
+    """Load the state dict of one HF model subfolder (vae/unet/text_encoder)."""
+    sub = os.path.join(model_dir, subfolder)
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin",
+                 "model.safetensors", "pytorch_model.bin"):
+        path = os.path.join(sub, name)
+        if os.path.exists(path):
+            return load_torch_file(path)
+    raise FileNotFoundError(f"no weights found under {sub}")
+
+
+def inflate_conv_in(unet_tree: Dict, target_in_channels: int) -> Dict:
+    """Zero-pad the conv_in kernel's input-channel axis (2D→3D inflation,
+    reference unet.py:709-717: first 4 channels copied, rest zero)."""
+    node = unet_tree["conv_in"]["conv"]
+    kernel = np.asarray(node["kernel"])  # (kh, kw, in, out)
+    cur = kernel.shape[2]
+    if cur == target_in_channels:
+        return unet_tree
+    assert cur < target_in_channels, (cur, target_in_channels)
+    pad = np.zeros(kernel.shape[:2] + (target_in_channels - cur,)
+                   + kernel.shape[3:], dtype=kernel.dtype)
+    node["kernel"] = np.concatenate([kernel, pad], axis=2)
+    return unet_tree
+
+
+def load_unet3d_params(
+    model,                      # UNet3DConditionModel (for init structure)
+    sd_unet_state: Dict,        # 2D SD UNet state dict (diffusers names)
+    motion_module_state: Optional[Dict] = None,  # 3D additions (.ckpt)
+    rng=None,
+    example_inputs=None,
+    verbose: bool = True,
+) -> Dict:
+    """from_pretrained_2d + motion-module load: init the 3D model, overlay
+    converted 2D weights (conv_in inflated), overlay motion weights."""
+    import jax
+
+    from followyourclick_tpu.utils.convert import (
+        audit_params,
+        convert_unet3d_state_dict,
+        merge_params,
+    )
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    assert example_inputs is not None, "need example inputs for init"
+    init_params = model.init(rng, *example_inputs)["params"]
+
+    converted = convert_unet3d_state_dict(sd_unet_state)
+    converted = inflate_conv_in(
+        converted, model.config.conv_in_channels)
+    params = merge_params(jax.tree_util.tree_map(np.asarray, init_params),
+                          converted)
+
+    if motion_module_state is not None:
+        mm = convert_unet3d_state_dict(motion_module_state)
+        params = merge_params(params, mm)
+
+    missing, unexpected, mismatched = audit_params(params, init_params)
+    if verbose:
+        print(f"[load_unet3d] missing={len(missing)} "
+              f"unexpected={len(unexpected)} mismatched={len(mismatched)}")
+    assert not mismatched, mismatched[:5]
+    return params
+
+
+def assemble_pipeline_from_pretrained(
+    pretrained_model_path: str,
+    inference_config,
+    motion_module_path: Optional[str] = None,
+    personalized_ckpt_path: Optional[str] = None,
+    lora_path: Optional[str] = None,
+    lora_alpha: float = 0.6,
+    motion_lora_path: Optional[str] = None,
+    motion_lora_alpha: float = 1.0,
+    dtype=None,
+):
+    """The full reference assembly flow (scripts/inference.py:152-247):
+    SD-1.5 dir → UNet3D inflation → motion module ckpt → optional
+    personalized LDM ckpt → optional LoRA merges → AnimationPipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.models.unet3d import (
+        UNet3DConditionModel,
+        UNetConditioning,
+    )
+    from followyourclick_tpu.pipelines.animation import AnimationPipeline
+    from followyourclick_tpu.utils import ldm as ldm_mod
+    from followyourclick_tpu.utils.convert import (
+        convert_clip_text_state_dict,
+        convert_unet3d_state_dict,
+        convert_vae_state_dict,
+        merge_params,
+    )
+    from followyourclick_tpu.utils.lora import merge_motion_lora, merge_sd_lora
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+
+    ucfg = inference_config.unet
+    unet = UNet3DConditionModel(ucfg, dtype=dtype)
+
+    sd_unet = load_hf_subfolder(pretrained_model_path, "unet")
+    sd_vae = load_hf_subfolder(pretrained_model_path, "vae")
+    sd_text = load_hf_subfolder(pretrained_model_path, "text_encoder")
+
+    if personalized_ckpt_path:
+        # personalized full-SD checkpoint overrides base weights
+        raw = load_torch_file(personalized_ckpt_path)
+        sd_unet = ldm_mod.convert_ldm_unet(raw) or sd_unet
+        vae_part = ldm_mod.convert_ldm_vae(raw)
+        if vae_part:
+            sd_vae = vae_part
+        clip_part = ldm_mod.convert_ldm_clip(raw)
+        if clip_part:
+            sd_text = clip_part
+
+    b, f = 1, 4
+    h = w = (ucfg.sample_size or 32)
+    example = (
+        jnp.zeros((b, f, h, w, ucfg.conv_in_channels), dtype),
+        jnp.zeros((b,), jnp.int32),
+        UNetConditioning(
+            context=jnp.zeros((b, 77, ucfg.cross_attention_dim), dtype),
+            fps=jnp.zeros((b,)) if ucfg.use_fps_condition else None,
+            motion_score=jnp.zeros((b,)) if ucfg.use_fps_condition else None),
+    )
+    mm_state = load_torch_file(motion_module_path) if motion_module_path \
+        else None
+    unet_params = load_unet3d_params(unet, sd_unet, mm_state,
+                                     example_inputs=example)
+    vae_params = convert_vae_state_dict(sd_vae)
+    text_params = convert_clip_text_state_dict(sd_text)
+
+    if lora_path:
+        unet_params, text_params = merge_sd_lora(
+            unet_params, text_params, load_torch_file(lora_path), lora_alpha)
+    if motion_lora_path:
+        unet_params = merge_motion_lora(
+            unet_params, load_torch_file(motion_lora_path), motion_lora_alpha)
+
+    tokenizer = None
+    try:
+        from transformers import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained(
+            pretrained_model_path, subfolder="tokenizer")
+    except Exception:
+        pass
+
+    return AnimationPipeline(
+        inference_config, unet_params, vae_params, text_params,
+        tokenizer=tokenizer, dtype=dtype)

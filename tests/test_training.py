@@ -1,0 +1,141 @@
+"""Training-step tests: trainable-module filters freeze the right params,
+loss decreases on a fixed batch, conditioning corruption applies."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.config import (
+        CLIPTextConfig,
+        MotionModuleConfig,
+        NoiseScheduleConfig,
+        UNet3DConfig,
+    )
+    from followyourclick_tpu.models.clip_text import CLIPTextModel
+    from followyourclick_tpu.models.unet3d import (
+        UNet3DConditionModel,
+        UNetConditioning,
+    )
+    from followyourclick_tpu.schedulers.ddim import DDIMSchedule
+    from followyourclick_tpu.training.train_step import (
+        TrainBatch,
+        TrainConfig,
+        create_train_state,
+    )
+
+    tcfg_text = CLIPTextConfig(vocab_size=100, hidden_size=32,
+                               intermediate_size=64, num_hidden_layers=1,
+                               num_attention_heads=2)
+    ucfg = UNet3DConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        norm_num_groups=8, cross_attention_dim=32,
+        motion_module=MotionModuleConfig(num_attention_heads=4))
+    unet = UNet3DConditionModel(ucfg)
+    text = CLIPTextModel(tcfg_text)
+
+    rng = jax.random.PRNGKey(0)
+    b, f, h, w = 2, 2, 16, 16
+    cond = UNetConditioning(context=jnp.zeros((b, 77, 32)),
+                            fps=jnp.zeros((b,)),
+                            motion_score=jnp.zeros((b,)))
+    unet_params = unet.init(rng, jnp.zeros((b, f, h, w, 9)),
+                            jnp.zeros((b,), jnp.int32), cond)["params"]
+    text_params = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+    sched = DDIMSchedule.create(NoiseScheduleConfig(), 25)
+    tc = TrainConfig(learning_rate=1e-3, gradient_checkpointing=False)
+    state = create_train_state(unet_params, tc)
+    batch = TrainBatch(
+        latents=jax.random.normal(jax.random.PRNGKey(2), (b, f, h, w, 4)),
+        input_ids=jnp.zeros((b, 77), jnp.int32),
+        mask=jnp.ones((b, h, w, 1)),
+        fps=jnp.full((b,), 8.0),
+        motion_score=jnp.full((b,), 20.0))
+    return dict(unet=unet, text=text, text_params=text_params, sched=sched,
+                tc=tc, state=state, batch=batch)
+
+
+def test_trainable_mask_filters():
+    from followyourclick_tpu.training.train_step import trainable_mask
+
+    params = {
+        "conv_in": {"conv": {"kernel": 1}},
+        "down_blocks_0": {
+            "motion_modules_0": {"proj_in": {"kernel": 1}},
+            "resnets_0": {"conv1": {"conv": {"kernel": 1}}},
+        },
+        "fps_embedding": {"linear_1": {"kernel": 1}},
+        "time_embedding": {"linear_1": {"kernel": 1}},
+    }
+    mask = trainable_mask(params, ("motion_modules", "conv_in",
+                                   "motion_embedding", "fps_embedding"))
+    assert mask["conv_in"]["conv"]["kernel"] is True
+    assert mask["down_blocks_0"]["motion_modules_0"]["proj_in"]["kernel"] is True
+    assert mask["down_blocks_0"]["resnets_0"]["conv1"]["conv"]["kernel"] is False
+    assert mask["fps_embedding"]["linear_1"]["kernel"] is True
+    assert mask["time_embedding"]["linear_1"]["kernel"] is False
+
+
+def test_train_step_updates_only_trainable(setup):
+    import jax
+
+    from followyourclick_tpu.training.train_step import train_step
+
+    s = setup
+    new_state, metrics = train_step(
+        s["state"], s["batch"], jax.random.PRNGKey(3), unet=s["unet"],
+        text_encoder=s["text"], text_params=s["text_params"],
+        sched=s["sched"], cfg=s["tc"])
+    assert np.isfinite(float(metrics["loss"]))
+
+    before = s["state"].params
+    after = new_state.params
+    # frozen: spatial resnet conv
+    b0 = np.asarray(before["down_blocks_0"]["resnets_0"]["conv1"]["conv"]["kernel"])
+    a0 = np.asarray(after["down_blocks_0"]["resnets_0"]["conv1"]["conv"]["kernel"])
+    np.testing.assert_array_equal(b0, a0)
+    # trained: motion module proj_out (zero-init ⇒ nonzero grad at step 1;
+    # everything upstream of it inside the module has exactly-zero grad until
+    # proj_out becomes nonzero — correct zero-init semantics)
+    b1 = np.asarray(before["down_blocks_0"]["motion_modules_0"]["proj_out"]["kernel"])
+    a1 = np.asarray(after["down_blocks_0"]["motion_modules_0"]["proj_out"]["kernel"])
+    assert np.abs(a1 - b1).max() > 0
+    b2 = np.asarray(before["conv_in"]["conv"]["kernel"])
+    a2 = np.asarray(after["conv_in"]["conv"]["kernel"])
+    assert np.abs(a2 - b2).max() > 0
+
+    # after a second step, gradients flow into proj_in through the now
+    # nonzero proj_out
+    new_state2, _ = train_step(
+        new_state, s["batch"], jax.random.PRNGKey(4), unet=s["unet"],
+        text_encoder=s["text"], text_params=s["text_params"],
+        sched=s["sched"], cfg=s["tc"])
+    p_in_1 = np.asarray(
+        new_state.params["down_blocks_0"]["motion_modules_0"]["proj_in"]["kernel"])
+    p_in_2 = np.asarray(
+        new_state2.params["down_blocks_0"]["motion_modules_0"]["proj_in"]["kernel"])
+    assert np.abs(p_in_2 - p_in_1).max() > 0
+
+
+def test_loss_decreases_over_steps(setup):
+    import functools
+
+    import jax
+
+    from followyourclick_tpu.training.train_step import train_step
+
+    s = setup
+    step_fn = jax.jit(functools.partial(
+        train_step, unet=s["unet"], text_encoder=s["text"],
+        text_params=s["text_params"], sched=s["sched"], cfg=s["tc"]))
+    state = s["state"]
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, s["batch"],
+                                 jax.random.PRNGKey(42))  # fixed noise
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
