@@ -6,3 +6,17 @@ from followyourclick_tpu.schedulers.ddim import (  # noqa: F401
     make_beta_schedule,
     rescale_zero_terminal_snr,
 )
+from followyourclick_tpu.schedulers.solvers import (  # noqa: F401
+    DPMSolverSchedule,
+    DPMSolverState,
+    EulerAncestralSchedule,
+    EulerSchedule,
+    LMSSchedule,
+    PNDMSchedule,
+    PNDMState,
+    dpm_solver_step,
+    euler_ancestral_step,
+    euler_step,
+    lms_step,
+    pndm_step,
+)
