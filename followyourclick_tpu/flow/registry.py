@@ -1,0 +1,46 @@
+"""Config-driven model construction (the mmflow registry/builder layer,
+``mmflow/mmflow/models/builder.py``): build flow estimators from dicts so the
+reference's python-config style (``configs/_base_/models/raft.py``) maps
+directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+FLOW_ESTIMATORS: Dict[str, Callable[..., Any]] = {}
+
+
+def register_flow_estimator(name: str):
+    def deco(fn):
+        FLOW_ESTIMATORS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_flow_estimator("RAFT")
+def _build_raft(cfg: Dict[str, Any]):
+    from followyourclick_tpu.flow.raft import RAFT, RAFTConfig
+
+    decoder = cfg.get("decoder", {})
+    return RAFT(
+        RAFTConfig(
+            num_levels=cfg.get("num_levels", 4),
+            radius=cfg.get("radius", 4),
+            h_channels=cfg.get("h_channels", 128),
+            cxt_channels=cfg.get("cxt_channels", 128),
+            iters=decoder.get("iters", 12),
+        )
+    )
+
+
+def build_flow_estimator(cfg: Dict[str, Any]):
+    """mmflow ``build_flow_estimator``: dispatch on cfg['type']."""
+    kind = cfg.get("type")
+    if kind not in FLOW_ESTIMATORS:
+        raise KeyError(
+            f"unknown flow estimator {kind!r}; registered: "
+            f"{sorted(FLOW_ESTIMATORS)}"
+        )
+    return FLOW_ESTIMATORS[kind](cfg)

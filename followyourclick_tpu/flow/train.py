@@ -1,0 +1,162 @@
+"""Flow training: the mmflow ``train_model`` equivalent for RAFT.
+
+Behavior spec: reference ``mmflow/mmflow/apis/train.py:74-238`` (dataloaders
+→ DDP → IterBasedRunner → Fp16OptimizerHook → checkpoint/eval hooks →
+auto-resume) with the published RAFT schedule
+(``mmflow/configs/raft/raft_8x2_100k_flyingchairs_368x496.py``: AdamW lr 4e-4
+wd 1e-4, OneCycle 5% linear warmup, grad-clip max-norm 1, SequenceLoss).
+
+TPU-first: one jitted train step (forward with per-iteration predictions →
+SequenceLoss → AdamW update, BatchNorm stats in ``batch_stats``); data
+parallelism is a batch-sharded ``NamedSharding`` over the 'data' mesh axis —
+XLA inserts the gradient all-reduce (no DDP/NCCL machinery)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import pickle
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from followyourclick_tpu.flow.losses import sequence_loss
+from followyourclick_tpu.flow.raft import RAFT, RAFTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowTrainConfig:
+    """RAFT FlyingChairs schedule (raft_8x2_100k_flyingchairs_368x496.py)."""
+
+    lr: float = 4e-4
+    weight_decay: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    total_steps: int = 100100
+    pct_start: float = 0.05       # OneCycle linear warmup fraction
+    grad_clip_norm: float = 1.0
+    gamma: float = 0.8            # SequenceLoss decay
+    max_flow: float = 400.0
+    iters: int = 12
+    checkpoint_every: int = 2000
+
+
+def onecycle_linear(cfg: FlowTrainConfig) -> optax.Schedule:
+    """Linear OneCycle (anneal_strategy='linear' in the reference config):
+    0 → max_lr over pct_start·total, then → 0."""
+    warm = int(cfg.total_steps * cfg.pct_start)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(cfg.lr / 25.0, cfg.lr, warm),
+            optax.linear_schedule(cfg.lr, 0.0, cfg.total_steps - warm),
+        ],
+        [warm],
+    )
+
+
+def make_optimizer(cfg: FlowTrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(
+            onecycle_linear(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
+            eps=cfg.eps, weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def train_step(
+    model: RAFT,
+    cfg: FlowTrainConfig,
+    variables: Dict[str, Any],
+    opt_state,
+    batch: Dict[str, jnp.ndarray],
+):
+    """One step: imgs (B,H,W,3)x2 + flow_gt (B,H,W,2) [+ valid (B,H,W)] →
+    new (variables, opt_state, metrics)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def loss_fn(params):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            batch["img1"], batch["img2"], iters=cfg.iters, train=True,
+            return_intermediate=True, mutable=["batch_stats"],
+        )
+        loss = sequence_loss(
+            outs, batch["flow_gt"], gamma=cfg.gamma,
+            valid=batch.get("valid"), max_flow=cfg.max_flow,
+        )
+        epe = jnp.sqrt(
+            jnp.sum((outs[-1] - batch["flow_gt"]) ** 2, axis=-1)
+        ).mean()
+        return loss, (mutated["batch_stats"], epe)
+
+    (loss, (new_stats, epe)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    variables = {"params": params, "batch_stats": new_stats}
+    return variables, opt_state, {"loss": loss, "epe": epe}
+
+
+def find_latest_checkpoint(work_dir: str) -> Optional[str]:
+    """mmflow auto-resume behavior (apis/train.py:228-236)."""
+    if not os.path.isdir(work_dir):
+        return None
+    ckpts = [f for f in os.listdir(work_dir) if f.startswith("iter_")
+             and f.endswith(".pkl")]
+    if not ckpts:
+        return None
+    latest = max(ckpts, key=lambda f: int(f.split("_")[1].split(".")[0]))
+    return os.path.join(work_dir, latest)
+
+
+def save_checkpoint(work_dir, step, variables, opt_state) -> str:
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, f"iter_{step}.pkl")
+    host = jax.tree_util.tree_map(lambda x: jax.device_get(x),
+                                  (variables, opt_state))
+    with open(path, "wb") as f:
+        pickle.dump({"step": step, "state": host}, f)
+    return path
+
+
+def train_model(
+    model: RAFT,
+    variables: Dict[str, Any],
+    data_iter: Iterable[Dict[str, Any]],
+    cfg: FlowTrainConfig = FlowTrainConfig(),
+    work_dir: str = "work_dir",
+    max_steps: Optional[int] = None,
+    resume: bool = True,
+    log_fn: Callable[[int, Dict[str, float]], None] = None,
+) -> Dict[str, Any]:
+    """IterBasedRunner-style loop with checkpoint-every-N and auto-resume
+    (the mmflow runner semantics, minus the hook indirection)."""
+    opt_state = make_optimizer(cfg).init(variables["params"])
+    start = 0
+    if resume:
+        latest = find_latest_checkpoint(work_dir)
+        if latest:
+            with open(latest, "rb") as f:
+                saved = pickle.load(f)
+            start = saved["step"]
+            variables, opt_state = saved["state"]
+    steps = max_steps if max_steps is not None else cfg.total_steps
+    for step, batch in enumerate(data_iter, start=start):
+        if step >= steps:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables, opt_state, metrics = train_step(
+            model, cfg, variables, opt_state, batch
+        )
+        if log_fn is not None:
+            log_fn(step, {k: float(v) for k, v in metrics.items()})
+        if (step + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(work_dir, step + 1, variables, opt_state)
+    return variables
