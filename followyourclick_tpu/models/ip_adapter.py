@@ -134,7 +134,7 @@ class ImageProjModel(nn.Module):
         x = nn.Dense(self.num_tokens * self.cross_attention_dim,
                      dtype=self.dtype, name="proj")(image_embeds)
         x = x.reshape(b, self.num_tokens, self.cross_attention_dim)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class PerceiverAttention(nn.Module):
@@ -149,8 +149,8 @@ class PerceiverAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        latents = nn.LayerNorm(dtype=self.dtype, name="norm2")(latents)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        latents = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(latents)
         b, l, _ = latents.shape
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -202,7 +202,7 @@ class Resampler(nn.Module):
                 dim=self.dim, dim_head=self.dim_head, heads=self.heads,
                 dtype=self.dtype, name=f"layers_{i}_attn")(x, latents) + latents
             # reference FeedForward: LayerNorm -> Linear -> GELU -> Linear
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_ff_norm")(latents)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_ff_norm")(latents)
             h = nn.Dense(self.dim * self.ff_mult, use_bias=False,
                          dtype=self.dtype, name=f"layers_{i}_ff_in")(h)
             h = nn.gelu(h, approximate=False)
@@ -212,7 +212,7 @@ class Resampler(nn.Module):
 
         latents = nn.Dense(self.output_dim, dtype=self.dtype,
                            name="proj_out")(latents)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_out")(latents)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(latents)
 
 
 class IPAdapter(nn.Module):

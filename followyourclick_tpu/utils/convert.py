@@ -244,3 +244,139 @@ def merge_params(base: Dict, overlay: Dict) -> Dict:
         else:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# IP-Adapter (image-prompt conditioning)
+# ---------------------------------------------------------------------------
+
+def convert_image_proj_state_dict(state_dict: Mapping[str, object]) -> Dict:
+    """Vanilla ``ImageProjModel.state_dict()`` (proj Linear + norm LN,
+    reference my_ip_adapter.py ImageProjModel) → flax params."""
+    return {
+        "proj": {"kernel": _to_numpy(state_dict["proj.weight"]).T,
+                 "bias": _to_numpy(state_dict["proj.bias"])},
+        "norm": {"scale": _to_numpy(state_dict["norm.weight"]),
+                 "bias": _to_numpy(state_dict["norm.bias"])},
+    }
+
+
+def convert_resampler_state_dict(state_dict: Mapping[str, object]) -> Dict:
+    """Reference ``Resampler.state_dict()`` (resampler.py:81-147: latents,
+    proj_in/out, norm_out, layers.{i}.0 = PerceiverAttention,
+    layers.{i}.1 = Sequential(LN, Linear, GELU, Linear)) → flax params."""
+    sd = state_dict
+    tree: Dict = {
+        "latents": _to_numpy(sd["latents"]),
+        "proj_in": {"kernel": _to_numpy(sd["proj_in.weight"]).T,
+                    "bias": _to_numpy(sd["proj_in.bias"])},
+        "proj_out": {"kernel": _to_numpy(sd["proj_out.weight"]).T,
+                     "bias": _to_numpy(sd["proj_out.bias"])},
+        "norm_out": {"scale": _to_numpy(sd["norm_out.weight"]),
+                     "bias": _to_numpy(sd["norm_out.bias"])},
+    }
+    depth = 0
+    while f"layers.{depth}.0.to_q.weight" in sd:
+        p = f"layers.{depth}"
+        tree[f"layers_{depth}_attn"] = {
+            "norm1": {"scale": _to_numpy(sd[f"{p}.0.norm1.weight"]),
+                      "bias": _to_numpy(sd[f"{p}.0.norm1.bias"])},
+            "norm2": {"scale": _to_numpy(sd[f"{p}.0.norm2.weight"]),
+                      "bias": _to_numpy(sd[f"{p}.0.norm2.bias"])},
+            "to_q": {"kernel": _to_numpy(sd[f"{p}.0.to_q.weight"]).T},
+            "to_kv": {"kernel": _to_numpy(sd[f"{p}.0.to_kv.weight"]).T},
+            "to_out": {"kernel": _to_numpy(sd[f"{p}.0.to_out.weight"]).T},
+        }
+        tree[f"layers_{depth}_ff_norm"] = {
+            "scale": _to_numpy(sd[f"{p}.1.0.weight"]),
+            "bias": _to_numpy(sd[f"{p}.1.0.bias"])}
+        tree[f"layers_{depth}_ff_in"] = {
+            "kernel": _to_numpy(sd[f"{p}.1.1.weight"]).T}
+        tree[f"layers_{depth}_ff_out"] = {
+            "kernel": _to_numpy(sd[f"{p}.1.3.weight"]).T}
+        depth += 1
+    return tree
+
+
+def convert_clip_vision_state_dict(state_dict: Mapping[str, object]) -> Dict:
+    """transformers ``CLIPVisionModelWithProjection.state_dict()`` → flax
+    params for ``models.ip_adapter.CLIPVisionModel``."""
+    tree: Dict = {}
+    for key, tensor in state_dict.items():
+        arr = _to_numpy(tensor)
+        k = key.replace("vision_model.", "")
+        if k == "embeddings.class_embedding":
+            _set(tree, ("class_embedding",), arr)
+        elif k == "embeddings.patch_embedding.weight":
+            _set(tree, ("patch_embedding", "kernel"),
+                 arr.transpose(2, 3, 1, 0))
+        elif k == "embeddings.position_embedding.weight":
+            _set(tree, ("position_embedding", "embedding"), arr)
+        elif k == "visual_projection.weight":
+            _set(tree, ("visual_projection", "kernel"), arr.T)
+        elif k.startswith("pre_layrnorm") or k.startswith("post_layernorm"):
+            mod, leaf = k.split(".")
+            _set(tree, (mod, "scale" if leaf == "weight" else "bias"), arr)
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            idx = parts[2]
+            rest = parts[3:]
+            if rest[0] == "self_attn":
+                mod = rest[1]
+            elif rest[0] == "mlp":
+                mod = {"fc1": "mlp_fc1", "fc2": "mlp_fc2"}[rest[1]]
+            else:
+                mod = rest[0]  # layer_norm1 / layer_norm2
+            leaf = rest[-1]
+            if mod.startswith("layer_norm"):
+                name = "scale" if leaf == "weight" else "bias"
+                _set(tree, (f"layers_{idx}", mod, name), arr)
+            else:
+                name, val = _leaf(leaf, arr)
+                _set(tree, (f"layers_{idx}", mod, name), val)
+    return tree
+
+
+def graft_ip_cross_attention(
+    unet_params: Dict, ip_state_dict: Mapping[str, object]
+) -> Dict:
+    """Positional graft of the ip ckpt's decoupled k/v weights onto every
+    ``to_k_ip``/``to_v_ip`` kernel in the UNet tree — replicating the
+    reference's state-dict-order zip (my_ip_adapter.py:103-125: '_ip' keys
+    in module order vs ckpt key order)."""
+    import jax
+
+    ckpt = [(k, _to_numpy(v)) for k, v in ip_state_dict.items()
+            if "_ip" in k]
+
+    paths = []
+
+    def collect(tree, path):
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                if k in ("to_k_ip", "to_v_ip"):
+                    paths.append(path + (k,))
+                else:
+                    collect(v, path + (k,))
+
+    out = jax.tree_util.tree_map(lambda x: x, unet_params)  # deep-ish copy
+    collect(out, ())
+    if len(paths) != len(ckpt):
+        raise ValueError(
+            f"ip ckpt has {len(ckpt)} '_ip' tensors but the UNet exposes "
+            f"{len(paths)} ip projections")
+    for path, (name, arr) in zip(paths, ckpt):
+        node = out
+        for p in path[:-1]:
+            node = node[p]
+        node = node.setdefault(path[-1], {}) if isinstance(
+            node.get(path[-1]), type(None)) else node[path[-1]]
+        expected = node["kernel"].shape
+        kernel = arr.T
+        if tuple(kernel.shape) != tuple(expected):
+            raise ValueError(
+                f"shape mismatch grafting {name} -> {'/'.join(path)}: "
+                f"{kernel.shape} vs {expected}")
+        node["kernel"] = kernel
+    return out

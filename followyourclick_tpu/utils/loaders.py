@@ -202,3 +202,34 @@ def assemble_pipeline_from_pretrained(
     return AnimationPipeline(
         inference_config, unet_params, vae_params, text_params,
         tokenizer=tokenizer, dtype=dtype)
+
+
+def load_ip_adapter(ckpt_path_or_dict, unet_params, plus: bool = False):
+    """Load a released IP-Adapter checkpoint ({'image_proj': ..,
+    'ip_adapter': ..}, reference my_ip_adapter.py:85-125): returns
+    (image_proj_params, unet_params with to_k_ip/to_v_ip grafted)."""
+    from followyourclick_tpu.utils.convert import (
+        convert_image_proj_state_dict,
+        convert_resampler_state_dict,
+        graft_ip_cross_attention,
+    )
+
+    if isinstance(ckpt_path_or_dict, (str, bytes)):
+        import torch
+
+        state = torch.load(ckpt_path_or_dict, map_location="cpu")
+    else:
+        state = ckpt_path_or_dict
+    image_proj_sd = {k: _np(v) for k, v in state["image_proj"].items()}
+    if plus:
+        proj_params = convert_resampler_state_dict(image_proj_sd)
+    else:
+        proj_params = convert_image_proj_state_dict(image_proj_sd)
+    new_unet = graft_ip_cross_attention(unet_params, state["ip_adapter"])
+    return proj_params, new_unet
+
+
+def _np(t):
+    import numpy as _numpy
+
+    return t.numpy() if hasattr(t, "numpy") else _numpy.asarray(t)
