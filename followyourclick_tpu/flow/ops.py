@@ -242,3 +242,38 @@ def resize_flow(
     H, W = shape
     out = jax.image.resize(flow, (B, H, W, 2), method="bilinear")
     return out * jnp.asarray([W / w, H / h], dtype=flow.dtype)
+
+
+def local_correlation(
+    feat1: jnp.ndarray,
+    feat2: jnp.ndarray,
+    max_displacement: int = 4,
+    scaled: bool = False,
+    dilation_patch: int = 1,
+) -> jnp.ndarray:
+    """Local correlation volume (the mmcv CUDA ``Correlation`` op the
+    reference registers at mmflow/mmflow/ops/builder.py:2, with kernel 1,
+    stride 1, padding 0): out[b, h, w, (dy, dx)] = Σ_c f1[b,h,w,c] ·
+    f2[b, h+dy, w+dx, c], zero padded, window (2d+1)² channels in row-major
+    (dy, dx) order — matching the (N, 2d+1, 2d+1, H, W) view flatten.
+
+    TPU-native: (2d+1)² shifted elementwise multiply-reduces, fused by XLA —
+    no scatter/gather.
+    """
+    B, H, W, C = feat1.shape
+    d = max_displacement
+    p = d * dilation_patch
+    padded = jnp.pad(feat2, ((0, 0), (p, p), (p, p), (0, 0)))
+    outs = []
+    # displacement grid at stride `dilation_patch` (mmcv dilation_patch):
+    # FlowNetC uses d=10, dilation_patch=2 → 21x21 taps at even offsets
+    for dy in range(2 * d + 1):
+        for dx in range(2 * d + 1):
+            oy = dy * dilation_patch
+            ox = dx * dilation_patch
+            shifted = padded[:, oy : oy + H, ox : ox + W, :]
+            outs.append(jnp.sum(feat1 * shifted, axis=-1))
+    corr = jnp.stack(outs, axis=-1)
+    if scaled:
+        corr = corr / C
+    return corr

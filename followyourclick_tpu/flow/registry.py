@@ -44,3 +44,37 @@ def build_flow_estimator(cfg: Dict[str, Any]):
             f"{sorted(FLOW_ESTIMATORS)}"
         )
     return FLOW_ESTIMATORS[kind](cfg)
+
+
+@register_flow_estimator("PWCNet")
+def _build_pwcnet(cfg):
+    from followyourclick_tpu.flow.pwcnet import PWCNet, PWCNetConfig
+
+    enc = cfg.get("encoder", {})
+    dec = cfg.get("decoder", {})
+    corr = dec.get("corr_cfg", {})
+    return PWCNet(
+        PWCNetConfig(
+            pyramid_channels=tuple(
+                enc.get("out_channels", (16, 32, 64, 96, 128, 196))
+            ),
+            max_displacement=corr.get("max_displacement", 4),
+            flow_div=dec.get("flow_div", 20.0),
+        )
+    )
+
+
+@register_flow_estimator("FlowNetS")
+def _build_flownets(cfg):
+    from followyourclick_tpu.flow.flownet import FlowNetConfig, FlowNetS
+
+    dec = cfg.get("decoder", {})
+    return FlowNetS(FlowNetConfig(flow_div=dec.get("flow_div", 20.0)))
+
+
+@register_flow_estimator("FlowNetC")
+def _build_flownetc(cfg):
+    from followyourclick_tpu.flow.flownet import FlowNetC, FlowNetConfig
+
+    dec = cfg.get("decoder", {})
+    return FlowNetC(FlowNetConfig(flow_div=dec.get("flow_div", 20.0)))

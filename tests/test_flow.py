@@ -237,3 +237,109 @@ class TestFlowIO:
         dec, v = flow_io.read_kitti_flow(png)
         np.testing.assert_allclose(dec, flow, atol=1 / 64.0)
         np.testing.assert_array_equal(v, valid)
+
+
+class TestLocalCorrelation:
+    def test_shape_and_centre_value(self, rng):
+        from followyourclick_tpu.flow.ops import local_correlation
+
+        f = jax.random.normal(rng, (1, 6, 6, 8))
+        corr = local_correlation(f, f, max_displacement=2)
+        assert corr.shape == (1, 6, 6, 25)
+        centre = np.asarray(corr[0, :, :, 12])
+        expect = np.asarray(jnp.sum(f[0] ** 2, axis=-1))
+        np.testing.assert_allclose(centre, expect, rtol=1e-5)
+
+    def test_shift_peak(self, rng):
+        """Correlating f with f shifted (+1, 0) peaks at the (+1, 0) tap."""
+        from followyourclick_tpu.flow.ops import local_correlation
+
+        f = jax.random.normal(rng, (1, 8, 8, 16))
+        f2 = jnp.roll(f, shift=-1, axis=2)  # f2[x] = f[x+1]
+        corr = local_correlation(f, f2, max_displacement=1)
+        # interior pixels: best match at dx=-1 (tap index dy=0,dx=-1 => 3)
+        interior = np.asarray(corr[0, 2:-2, 2:-2])
+        assert (interior.argmax(axis=-1) == 3).all()
+
+
+class TestPWCNet:
+    def test_forward_levels_and_inference(self, rng):
+        from followyourclick_tpu.flow.pwcnet import PWCNet, PWCNetConfig
+
+        cfg = PWCNetConfig(
+            pyramid_channels=(8, 16, 16, 16, 16, 16),
+            densefeat_channels=(16, 16, 8),
+            context_channels=(16, 16, 8),
+            context_dilations=(1, 2, 1),
+        )
+        model = PWCNet(cfg)
+        img = jax.random.uniform(rng, (1, 128, 128, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds = model.apply(params, img, img)
+        assert set(preds) == {"level2", "level3", "level4", "level5", "level6"}
+        assert preds["level2"].shape == (1, 32, 32, 2)
+        assert preds["level6"].shape == (1, 2, 2, 2)
+        flow = model.apply(params, img, img, inference=True)
+        assert flow.shape == (1, 128, 128, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_multilevel_loss_runs(self, rng):
+        from followyourclick_tpu.flow.pwcnet import PWCNet, PWCNetConfig
+
+        cfg = PWCNetConfig(
+            pyramid_channels=(8, 16, 16, 16, 16, 16),
+            densefeat_channels=(16, 8),
+            context_channels=(16, 8),
+            context_dilations=(1, 1),
+        )
+        model = PWCNet(cfg)
+        img = jax.random.uniform(rng, (2, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds = model.apply(params, img, img)
+        gt = jax.random.normal(rng, (2, 64, 64, 2)) * 3
+        loss = multi_level_epe_loss(preds, gt)
+        assert float(loss) > 0
+
+    def test_registry_builds_pwcnet(self):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator(
+            {"type": "PWCNet",
+             "decoder": {"flow_div": 20.0,
+                         "corr_cfg": {"max_displacement": 4}}}
+        )
+        assert model.config.max_displacement == 4
+
+
+class TestFlowNet:
+    """Config-driven construction + forward tests, the mmflow
+    test_flow_estimator.py pattern."""
+
+    @pytest.mark.parametrize("kind", ["FlowNetS", "FlowNetC"])
+    def test_forward_and_loss(self, kind, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator({"type": kind})
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds = model.apply(params, img, img)
+        assert set(preds) == {"level2", "level3", "level4", "level5",
+                              "level6"}
+        assert preds["level2"].shape == (1, 16, 16, 2)
+        gt = jax.random.normal(rng, (1, 64, 64, 2)) * 3
+        assert float(multi_level_epe_loss(preds, gt)) > 0
+        flow = model.apply(params, img, img, inference=True)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_dilated_correlation_channels(self, rng):
+        from followyourclick_tpu.flow.ops import local_correlation
+
+        f = jax.random.normal(rng, (1, 12, 12, 4))
+        corr = local_correlation(f, f, max_displacement=2, dilation_patch=2)
+        assert corr.shape == (1, 12, 12, 25)
+        # centre tap (zero displacement) unaffected by dilation
+        np.testing.assert_allclose(
+            np.asarray(corr[0, :, :, 12]),
+            np.asarray(jnp.sum(f[0] ** 2, axis=-1)), rtol=1e-5,
+        )
