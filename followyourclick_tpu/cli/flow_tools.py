@@ -1,0 +1,138 @@
+"""Flow tooling CLI: train / test / benchmark subcommands.
+
+Behavior spec: reference ``mmflow/tools/train.py`` (config-driven training
+with work-dir checkpoints and auto-resume), ``tools/test.py`` (dataset EPE
+evaluation), ``tools/benchmark.py`` (FPS harness with warmup). Config files
+are YAML dicts with the mmflow-style ``model: {type: ...}`` section consumed
+by ``flow.registry.build_flow_estimator``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("followyourclick-flow")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--config", type=str, required=True)
+    t.add_argument("--data-root", type=str, required=True)
+    t.add_argument("--dataset", type=str, default="FlyingChairs",
+                   choices=["FlyingChairs", "Sintel", "KITTI"])
+    t.add_argument("--work-dir", type=str, default="work_dir")
+    t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=2)
+    t.add_argument("--crop", type=int, nargs=2, default=[368, 496])
+    t.add_argument("--no-resume", action="store_true")
+
+    e = sub.add_parser("test")
+    e.add_argument("--config", type=str, required=True)
+    e.add_argument("--checkpoint", type=str, required=True)
+    e.add_argument("--data-root", type=str, required=True)
+    e.add_argument("--dataset", type=str, default="Sintel")
+    e.add_argument("--metrics", type=str, nargs="+", default=["EPE"])
+    e.add_argument("--iters", type=int, default=32)
+
+    b = sub.add_parser("benchmark")
+    b.add_argument("--config", type=str, required=True)
+    b.add_argument("--size", type=int, nargs=2, default=[448, 1024])
+    b.add_argument("--warmup", type=int, default=5)
+    b.add_argument("--max-iter", type=int, default=50)
+    return p
+
+
+def _build_model(config_path: str):
+    import yaml
+
+    from followyourclick_tpu.flow.registry import build_flow_estimator
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    return build_flow_estimator(cfg["model"]), cfg
+
+
+def _load_dataset(name: str, root: str):
+    from followyourclick_tpu.flow import datasets
+
+    return {"FlyingChairs": datasets.FlyingChairs,
+            "Sintel": datasets.Sintel,
+            "KITTI": datasets.KITTI}[name](root)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    args = build_parser().parse_args(argv)
+    model, cfg = _build_model(args.config)
+
+    if args.cmd == "train":
+        from followyourclick_tpu.flow.datasets import training_batches
+        from followyourclick_tpu.flow.train import (
+            FlowTrainConfig,
+            train_model,
+        )
+
+        ds = _load_dataset(args.dataset, args.data_root)
+        tcfg = FlowTrainConfig(**cfg.get("train", {}))
+        h, w = args.crop
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h, w, 3)),
+        )
+        it = training_batches(ds, args.batch_size, crop_size=(h, w))
+        train_model(model, dict(variables), it, tcfg,
+                    work_dir=args.work_dir, max_steps=args.max_steps,
+                    resume=not args.no_resume,
+                    log_fn=lambda s, m: print(f"iter {s}: {m}"))
+
+    elif args.cmd == "test":
+        import pickle
+
+        from followyourclick_tpu.flow.api import inference_model
+        from followyourclick_tpu.flow.metrics import eval_metrics
+
+        with open(args.checkpoint, "rb") as f:
+            saved = pickle.load(f)
+        variables = saved["state"][0] if "state" in saved else saved
+        ds = _load_dataset(args.dataset, args.data_root)
+        preds, gts, valids = [], [], []
+        for i in range(len(ds)):
+            s = ds[i]
+            flow = inference_model(model, variables, s.img1, s.img2,
+                                   iters=args.iters)
+            preds.append(np.asarray(flow))
+            gts.append(s.flow_gt)
+            valids.append(s.valid)
+        print(json.dumps(eval_metrics(preds, gts, valids, args.metrics)))
+
+    elif args.cmd == "benchmark":
+        from followyourclick_tpu.utils.profiling import fps_benchmark
+
+        h, w = args.size
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h, w, 3)),
+        )
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def step(pair):
+            return model.apply(variables, pair[0], pair[1])
+
+        rs = np.random.RandomState(0)
+        pair = (jnp.asarray(rs.rand(1, h, w, 3), jnp.float32),
+                jnp.asarray(rs.rand(1, h, w, 3), jnp.float32))
+        fps = fps_benchmark(step, iter(lambda: pair, None),
+                            warmup=args.warmup, max_iter=args.max_iter)
+        print(json.dumps({"fps": round(fps, 2), "size": [h, w]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,8 +37,10 @@ def _packed_small_seq_attention(
     that is a (16×16)·K=40 MXU op at ~1% utilisation. Packing (frame, head)
     into one M = N = S·H axis (e.g. 16·8 = 128) and masking cross-head
     entries to -inf turns it into full 128-wide MXU tiles; the H× extra
-    FLOPs are negligible at these sizes (measured ~5x faster on v5e for the
-    16-frame 512px pipeline's motion modules).
+    FLOPs are negligible at these sizes. NOTE: measured on v5e inside the
+    fused 16f/512px pipeline this loses to XLA's batched path (fp32 packed
+    logits cost more HBM traffic than the tiling saves), so it is opt-in
+    (impl="packed") for smaller folded batches, not the default.
     """
     b, s, h, d = query.shape
     m = s * h
@@ -97,11 +99,12 @@ def dot_product_attention(
 
     if _IMPL_OVERRIDE:
         impl = _IMPL_OVERRIDE
-    # tiny-sequence self-attention (the temporal/frame axis): pack heads
-    # into the matmul M/N dims — MXU-aligned tiles instead of 16-wide ones
-    b, sq, h, _ = query.shape
-    sk = key.shape[1]
-    if impl != "xla" and sq == sk and sq <= 32 and sq * h <= 512:
+    # Opt-in tiny-sequence head packing (see _packed_small_seq_attention).
+    # Measured on v5e in the fused 16f/512px pipeline: the fp32 packed-logit
+    # traffic outweighs the MXU tiling win, so XLA's batched path stays the
+    # default for the temporal axis; "packed" is kept for serving shapes
+    # where the folded batch is smaller.
+    if impl == "packed":
         return _packed_small_seq_attention(query, key, value, bias, scale)
     use_flash = False
     if impl == "flash":
