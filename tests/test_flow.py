@@ -343,3 +343,22 @@ class TestFlowNet:
             np.asarray(corr[0, :, :, 12]),
             np.asarray(jnp.sum(f[0] ** 2, axis=-1)), rtol=1e-5,
         )
+
+
+class TestGMA:
+    def test_gma_forward_and_train_path(self, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator(
+            {"type": "GMA", "decoder": {"iters": 2, "heads": 1}})
+        assert model.config.use_gma
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), img, img, iters=1)
+        flow = model.apply(variables, img, img, iters=2)
+        assert flow.shape == (1, 64, 64, 2)
+        ups = model.apply(variables, img, img, iters=2,
+                          return_intermediate=True)
+        assert ups.shape == (2, 1, 64, 64, 2)
+        # the zero-init gamma gate makes GMA start as plain RAFT: the
+        # aggregator must expose a gamma param
+        assert "aggregator" in variables["params"]["decoder"]

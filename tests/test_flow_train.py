@@ -190,3 +190,41 @@ class TestTraining:
         state = opt.init(params)
         updates, _ = opt.update({"w": jnp.ones((3,))}, state, params)
         assert updates["w"].shape == (3,)
+
+
+class TestSchedulesAndMixing:
+    def test_multistage_lr(self):
+        from followyourclick_tpu.flow.train import multistage_lr
+
+        sched = multistage_lr(
+            milestone_lrs=[1e-3, 1e-4],
+            milestone_iters=[0, 100],
+            steps=[[50, 80], [150]],
+            gammas=[0.5, 0.1],
+        )
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(60)) == pytest.approx(5e-4)
+        assert float(sched(90)) == pytest.approx(2.5e-4)
+        assert float(sched(100)) == pytest.approx(1e-4)
+        assert float(sched(200)) == pytest.approx(1e-5)
+
+    def test_mixed_training_batches(self, chairs_dir):
+        from followyourclick_tpu.flow.train import mixed_training_batches
+
+        ds = FlyingChairs(str(chairs_dir))
+        it = mixed_training_batches([ds, ds], [0.5, 0.5], batch_size=4,
+                                    crop_size=(32, 32))
+        batch = next(it)
+        assert batch["img1"].shape == (4, 32, 32, 3)
+
+    def test_evaluate(self, chairs_dir):
+        from followyourclick_tpu.flow.api import init_model
+        from followyourclick_tpu.flow.train import evaluate
+
+        ds = FlyingChairs(str(chairs_dir))
+        cfg = RAFTConfig(iters=2, feat_channels=32, h_channels=32,
+                         cxt_channels=32, stem_channels=16,
+                         base_channels=(16, 16, 32))
+        model, variables = init_model(cfg, image_size=(40, 48))
+        out = evaluate(model, variables, ds, iters=2)
+        assert "EPE" in out and np.isfinite(out["EPE"])
