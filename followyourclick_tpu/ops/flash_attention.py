@@ -156,10 +156,14 @@ def flash_attention(
     key: jnp.ndarray,    # (B, Sk, H, D)
     value: jnp.ndarray,  # (B, Sk, H, D)
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
-    """Flash attention over (batch, seq, heads, head_dim) arrays."""
+    """Flash attention over (batch, seq, heads, head_dim) arrays.
+
+    Default blocks from a v5e sweep at the hot spatial shape
+    (B·H=256, seq 4096, d 40→128): (512, 1024) runs ~27%% faster than
+    (256, 512)."""
     b, sq, h, d = query.shape
     sk = key.shape[1]
     if scale is None:
