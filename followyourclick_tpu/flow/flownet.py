@@ -137,9 +137,10 @@ class FlowNetS(nn.Module):
     config: FlowNetConfig = FlowNetConfig()
 
     @nn.compact
-    def __call__(self, img1, img2, inference: bool = False):
+    def __call__(self, img1, img2, inference: bool = False, extra=None):
         cfg = self.config
-        x = jnp.concatenate([img1, img2], axis=-1)
+        parts = [img1, img2] if extra is None else [img1, img2, extra]
+        x = jnp.concatenate(parts, axis=-1)
         feats = FlowNetEncoder(
             out_channels=(64, 128, 256, 512, 512, 1024),
             kernel_sizes=(7, 5, (5, 3), 3, 3, 3),
@@ -193,6 +194,55 @@ class FlowNetC(nn.Module):
         preds = _FlowNetDecoder(dtype=cfg.dtype, name="decoder")(
             feat1, corr_feat
         )
+        if inference:
+            H, W = img1.shape[1:3]
+            fine = preds["level2"]
+            out = jax.image.resize(fine, (fine.shape[0], H, W, 2),
+                                   method="bilinear")
+            return out * cfg.flow_div
+        return preds
+
+
+def basic_link(img1, img2, flow, flow_div: float, scale_factor: int = 4):
+    """Estimator link (mmflow utils/estimators_link.py BasicLink): upsample
+    the coarse flow, warp img2 by the SCALED flow (border padding), return
+    (upsampled flow, warped image, brightness error)."""
+    B, h, w, _ = flow.shape
+    H, W = h * scale_factor, w * scale_factor
+    up = jax.image.resize(flow, (B, H, W, 2), method="bilinear")
+    scaled = up * flow_div
+    from followyourclick_tpu.flow.ops import flow_warp
+
+    warped = flow_warp(img2, scaled, padding_mode="border")
+    diff = img1 - warped
+    bright_err = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
+    return up, warped, bright_err
+
+
+class FlowNetCSS(nn.Module):
+    """Stacked FlowNet2-CSS (mmflow flow_estimators/flownet2.py:13-210):
+    FlowNetC predicts, the link warps image 2 by the prediction, and one or
+    two FlowNetS refine from (img1, img2, warped, upflow, brightness-error)
+    12-channel inputs. The published FlowNet2 trains the stages
+    progressively; here all stages train jointly unless frozen by the
+    optimizer mask."""
+
+    config: FlowNetConfig = FlowNetConfig()
+    two_s_stages: bool = True
+
+    @nn.compact
+    def __call__(self, img1, img2, inference: bool = False):
+        cfg = self.config
+        flowc = FlowNetC(cfg, name="flownetC")(img1, img2)["level2"]
+        up1, warped1, err1 = basic_link(img1, img2, flowc, cfg.flow_div)
+        extra1 = jnp.concatenate([warped1, up1, err1], axis=-1)
+        s1 = FlowNetS(cfg, name="flownetS1")
+        preds = s1(img1, img2, extra=extra1)
+        if self.two_s_stages:
+            up2, warped2, err2 = basic_link(
+                img1, img2, preds["level2"], cfg.flow_div)
+            extra2 = jnp.concatenate([warped2, up2, err2], axis=-1)
+            preds = FlowNetS(cfg, name="flownetS2")(img1, img2, extra=extra2)
         if inference:
             H, W = img1.shape[1:3]
             fine = preds["level2"]

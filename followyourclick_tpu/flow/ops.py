@@ -102,11 +102,14 @@ def bilinear_sample(
 
 
 def flow_warp(
-    feat: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True
+    feat: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = True,
+    padding_mode: str = "zeros",
 ) -> jnp.ndarray:
     """Warp ``feat (B, H, W, C)`` backward by ``flow (B, H, W, 2)`` — the
     reference ``Warp`` op (mmflow/mmflow/ops/warp.py:32): output(p) =
-    feat(p + flow(p)) with bilinear sampling and zero padding.
+    feat(p + flow(p)) with bilinear sampling and zero or border padding
+    (the FlowNet2 estimator link warps with padding_mode='border',
+    utils/estimators_link.py:39-40).
 
     Invariant (reference tests/test_op/test_warp.py): zero flow ⇒ identity.
     """
@@ -118,6 +121,9 @@ def flow_warp(
         # match grid_sample(align_corners=False) after [-1,1] normalisation
         x = ((x * 2.0 / max(W - 1, 1) - 1.0 + 1.0) * W - 1.0) / 2.0
         y = ((y * 2.0 / max(H - 1, 1) - 1.0 + 1.0) * H - 1.0) / 2.0
+    if padding_mode == "border":
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
     return _gather_bilinear(feat, x, y)
 
 

@@ -98,3 +98,13 @@ def _build_gma(cfg):
             gma_heads=decoder.get("heads", 1),
         )
     )
+
+
+@register_flow_estimator("FlowNetCSS")
+def _build_flownetcss(cfg):
+    from followyourclick_tpu.flow.flownet import FlowNetCSS, FlowNetConfig
+
+    return FlowNetCSS(
+        FlowNetConfig(flow_div=cfg.get("flow_div", 20.0)),
+        two_s_stages=cfg.get("flownetS2", True) is not None,
+    )

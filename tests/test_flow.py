@@ -362,3 +362,28 @@ class TestGMA:
         # the zero-init gamma gate makes GMA start as plain RAFT: the
         # aggregator must expose a gamma param
         assert "aggregator" in variables["params"]["decoder"]
+
+
+class TestFlowNetCSS:
+    def test_stacked_forward(self, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator({"type": "FlowNetCSS"})
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        # three stacked sub-estimators present
+        assert {"flownetC", "flownetS1", "flownetS2"} <= set(
+            params["params"])
+        flow = model.apply(params, img, img, inference=True)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_border_padding_warp(self, rng):
+        from followyourclick_tpu.flow.ops import flow_warp
+
+        feat = jax.random.normal(rng, (1, 6, 6, 2))
+        flow = jnp.full((1, 6, 6, 2), 10.0)  # everything out of range
+        out = flow_warp(feat, flow, padding_mode="border")
+        # border mode clamps to the last pixel instead of zeroing
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, 0]), np.asarray(feat[0, -1, -1]), atol=1e-5)
