@@ -54,6 +54,12 @@ class SampleSpec:
                                                  default=False)
     base_lambda: float = flax.struct.field(pytree_node=False, default=0.9)
     eta: float = flax.struct.field(pytree_node=False, default=0.0)
+    # OPT-IN serving approximation (NOT reference behavior, off by default):
+    # recompute the CFG uncond branch only every k-th step and reuse the
+    # cached prediction in between (the negative-prompt noise drifts slowly
+    # across adjacent timesteps — same family as Pyramid Attention
+    # Broadcast, arXiv 2408.12588). k=1 reproduces the exact reference CFG.
+    cfg_cache_interval: int = flax.struct.field(pytree_node=False, default=1)
 
 
 class AnimationPipeline:
@@ -225,9 +231,12 @@ class AnimationPipeline:
                 first_image_latents))
 
         plain_context = context[:b]  # uncond half for the per-frame pass
+        cfg_cache = (do_cfg and spec.video_scale == 0
+                     and spec.cfg_cache_interval > 1)
+        S = spec.num_inference_steps
 
         def step(carry, i):
-            latents = carry
+            latents, cached_uncond = carry
             t = sched.timesteps[i]
             x = latents
             if use_mask_concat:
@@ -236,6 +245,35 @@ class AnimationPipeline:
             else:
                 x = dup(x)
             t_batch = jnp.broadcast_to(t, (b * mult,))
+            if cfg_cache:
+                # both branches produce (uncond, text) of shape (b,f,h,w,4);
+                # the cheap branch runs the UNet on the cond half only
+                recompute = jnp.logical_or(
+                    i % spec.cfg_cache_interval == 0, i >= S - 2)
+
+                def fresh(_):
+                    pred = self._unet_apply(params["unet"], x, t_batch, cond)
+                    u, c = jnp.split(pred, 2, axis=0)
+                    return u, c
+
+                def cached(_):
+                    c = self._unet_apply(
+                        params["unet"], x[b:],
+                        jnp.broadcast_to(t, (b,)),
+                        jax.tree_util.tree_map(
+                            lambda a: a[b:] if hasattr(a, "shape")
+                            and a.shape[:1] == (2 * b,) else a, cond),
+                    )
+                    return cached_uncond, c
+
+                uncond_pred, text_pred = jax.lax.cond(
+                    recompute, fresh, cached, None)
+                noise_pred = uncond_pred + spec.guidance_scale * (
+                    text_pred - uncond_pred)
+                new_latents, _ = ddim_step(sched, noise_pred, i, latents,
+                                           eta=spec.eta)
+                return (new_latents, uncond_pred), ()
+
             noise_pred = self._unet_apply(params["unet"], x, t_batch, cond)
 
             if do_cfg:
@@ -261,10 +299,11 @@ class AnimationPipeline:
 
             new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                        eta=spec.eta)
-            return new_latents, ()
+            return (new_latents, carry[1]), ()
 
-        latents, _ = jax.lax.scan(step, latents,
-                                  jnp.arange(spec.num_inference_steps))
+        init_carry = (latents, jnp.zeros((b, f, h, w, 4), latents.dtype))
+        (latents, _), _ = jax.lax.scan(step, init_carry,
+                                       jnp.arange(spec.num_inference_steps))
         return latents
 
     def decode_latents(self, params, latents: jnp.ndarray,

@@ -217,3 +217,36 @@ def test_video_scale_guidance_runs(pipelines):
                        mask=jnp.ones((1, LH, LW, 1)),
                        fps=jnp.array([8.0]), motion_score=jnp.array([20.0]))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cfg_cache_interval_approximation(pipelines):
+    """Opt-in CFG-uncond caching (SampleSpec.cfg_cache_interval>1) must run
+    and stay close to the exact CFG trajectory; k=1 is exactly the default
+    path (covered by test_end_to_end_parity)."""
+    import jax.numpy as jnp
+
+    _, pipe = pipelines
+    rs = np.random.RandomState(3)
+    lat = jnp.asarray(rs.randn(1, F, LH, LW, 4).astype(np.float32))
+    input_ids, neg_ids = pipe.tokenize(["a dog running"])
+    context = pipe.encode_prompt(pipe.params, jnp.asarray(input_ids),
+                                 jnp.asarray(neg_ids))
+    first_latent = jnp.asarray(rs.randn(1, LH, LW, 4).astype(np.float32))
+    mask = jnp.asarray((rs.rand(1, LH, LW, 1) > 0.5).astype(np.float32))
+    kw = dict(first_image_latents=first_latent, mask=mask,
+              fps=jnp.array([8.0]), motion_score=jnp.array([20.0]))
+
+    exact = pipe.denoise(
+        pipe.params, lat, context,
+        SampleSpec(video_length=F, height=H, width=W,
+                   num_inference_steps=STEPS, guidance_scale=GUIDANCE), **kw)
+    approx = pipe.denoise(
+        pipe.params, lat, context,
+        SampleSpec(video_length=F, height=H, width=W,
+                   num_inference_steps=STEPS, guidance_scale=GUIDANCE,
+                   cfg_cache_interval=2), **kw)
+    assert np.isfinite(np.asarray(approx)).all()
+    # same scale and moderately close (it is an approximation)
+    err = np.abs(np.asarray(approx) - np.asarray(exact)).mean()
+    ref = np.abs(np.asarray(exact)).mean()
+    assert err < 0.5 * ref, (err, ref)
