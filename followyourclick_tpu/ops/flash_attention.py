@@ -161,9 +161,11 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Flash attention over (batch, seq, heads, head_dim) arrays.
 
-    Default blocks from a v5e sweep at the hot spatial shape
-    (B·H=256, seq 4096, d 40→128): (512, 1024) runs ~27%% faster than
-    (256, 512)."""
+    Blocks (512, 1024) from a v5e sweep at the hot spatial shape
+    (B·H=256, seq 4096, d 40→128): ~27% faster than (256, 512) isolated and
+    ~2 s/clip faster in the cleanest paired end-to-end comparison. NOTE:
+    end-to-end bench numbers on the shared relay chip vary ±1.5 s run-to-run
+    with identical code — only paired back-to-back runs are meaningful."""
     b, sq, h, d = query.shape
     sk = key.shape[1]
     if scale is None:

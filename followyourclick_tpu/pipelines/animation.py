@@ -307,13 +307,15 @@ class AnimationPipeline:
         return latents
 
     def decode_latents(self, params, latents: jnp.ndarray,
-                       frame_chunk: int = 4) -> jnp.ndarray:
+                       frame_chunk: int = 1) -> jnp.ndarray:
         """(B, F, h, w, 4) → video (B, F, H, W, 3) in [0, 1]; frames decoded
         under a rematerialized scan (reference decode_latents :400-413).
 
-        Frames are decoded ``frame_chunk`` at a time: one frame under-fills
-        the MXU while all 16 at once would blow past the 512² decoder's
-        activation memory — chunks of 4 are the measured sweet spot on v5e.
+        ``frame_chunk`` frames decode per scan step. Measured on v5e at 512²:
+        chunk=1 0.53 s / 16 frames vs chunk=4 0.87 s — the 512² decoder's
+        activation working set already saturates the chip per frame, so
+        chunking only adds memory pressure; keep 1 (chunking may still win
+        at ≤256² — re-measure before changing).
         """
         b, f = latents.shape[:2]
         z = latents.astype(self.dtype) / VAE_SCALE
