@@ -108,3 +108,24 @@ def _build_flownetcss(cfg):
         FlowNetConfig(flow_div=cfg.get("flow_div", 20.0)),
         two_s_stages=cfg.get("flownetS2", True) is not None,
     )
+
+
+@register_flow_estimator("MaskFlowNetS")
+def _build_maskflownets(cfg):
+    from followyourclick_tpu.flow.maskflownet import (
+        MaskFlowNetS,
+        MaskFlowNetSConfig,
+    )
+
+    enc = cfg.get("encoder", {})
+    dec = cfg.get("decoder", {})
+    corr = dec.get("corr_cfg", {})
+    return MaskFlowNetS(
+        MaskFlowNetSConfig(
+            pyramid_channels=tuple(
+                enc.get("out_channels", (16, 32, 64, 96, 128, 196))
+            ),
+            max_displacement=corr.get("max_displacement", 4),
+            flow_div=dec.get("flow_div", 20.0),
+        )
+    )

@@ -387,3 +387,40 @@ class TestFlowNetCSS:
         # border mode clamps to the last pixel instead of zeroing
         np.testing.assert_allclose(
             np.asarray(out[0, 0, 0]), np.asarray(feat[0, -1, -1]), atol=1e-5)
+
+
+class TestMaskFlowNetS:
+    def test_upsample2_align_corners_semantics(self):
+        from followyourclick_tpu.flow.maskflownet import (
+            upsample2_align_corners,
+        )
+
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        up = upsample2_align_corners(x)
+        assert up.shape == (1, 4, 4, 1)
+        # even positions reproduce the original samples
+        np.testing.assert_allclose(np.asarray(up[0, ::2, ::2, 0]),
+                                   np.asarray(x[0, :, :, 0]))
+        # odd positions are neighbour averages
+        assert float(up[0, 0, 1, 0]) == pytest.approx(0.5)
+        assert float(up[0, 1, 0, 0]) == pytest.approx(1.0)
+
+    def test_forward_and_masks(self, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator({"type": "MaskFlowNetS"})
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds = model.apply(params, img, img)
+        assert set(preds) == {"level2", "level3", "level4", "level5",
+                              "level6"}
+        assert preds["level2"].shape == (1, 16, 16, 2)
+        gt = jax.random.normal(rng, (1, 64, 64, 2)) * 3
+        assert float(multi_level_epe_loss(preds, gt)) > 0
+
+        flow, mask = model.apply(params, img, img, inference=True,
+                                 return_mask=True)
+        assert flow.shape == (1, 64, 64, 2)
+        # level-3 upmask (16x16) upsampled 4x -> 64x64 stage-2 seed
+        assert mask.shape == (1, 64, 64, 1)
+        assert np.isfinite(np.asarray(flow)).all()
