@@ -34,6 +34,9 @@ def _leaky(x):
 @dataclasses.dataclass(frozen=True)
 class PWCNetConfig:
     pyramid_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+    # convs per pyramid level: 3 for 'Basic' (PWC-Net), 2 for 'Small'
+    # (IRR-PWC) — mmflow PWCNetEncoder net_type
+    encoder_num_convs: int = 3
     densefeat_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
     max_displacement: int = 4
     flow_div: float = 20.0
@@ -53,7 +56,7 @@ class PWCNetEncoder(nn.Module):
         cfg = self.config
         feats: Dict[int, jnp.ndarray] = {}
         for lvl, ch in enumerate(cfg.pyramid_channels, start=1):
-            for j in range(3):
+            for j in range(cfg.encoder_num_convs):
                 x = nn.Conv(
                     ch, (3, 3), strides=(2, 2) if j == 0 else (1, 1),
                     padding=1, dtype=cfg.dtype,
@@ -100,10 +103,12 @@ class PWCModule(nn.Module):
 
 
 class ContextNet(nn.Module):
-    """Dilated refinement (context_net.py:13-80)."""
+    """Dilated refinement (context_net.py:13-80); out_channels 2 for flow,
+    1 for the IRR-PWC occlusion post-processor."""
 
     feat_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     dilations: Tuple[int, ...] = (1, 2, 4, 8, 16, 1)
+    out_channels: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,8 +119,8 @@ class ContextNet(nn.Module):
                 nn.Conv(ch, (3, 3), padding=dil, kernel_dilation=(dil, dil),
                         dtype=self.dtype, name=f"conv{i}")(x)
             )
-        return nn.Conv(2, (3, 3), padding=1, dtype=self.dtype,
-                       name="predict")(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="predict")(x)
 
 
 class PWCNet(nn.Module):

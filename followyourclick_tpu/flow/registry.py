@@ -129,3 +129,16 @@ def _build_maskflownets(cfg):
             flow_div=dec.get("flow_div", 20.0),
         )
     )
+
+
+@register_flow_estimator("IRRPWC")
+def _build_irrpwc(cfg):
+    from followyourclick_tpu.flow.irrpwc import IRRPWC, IRRPWCConfig
+
+    dec = cfg.get("decoder", {})
+    return IRRPWC(
+        IRRPWCConfig(
+            corr_feat_channels=dec.get("corr_feat_channels", 32),
+            flow_div=dec.get("flow_div", 20.0),
+        )
+    )

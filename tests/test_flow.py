@@ -424,3 +424,36 @@ class TestMaskFlowNetS:
         # level-3 upmask (16x16) upsampled 4x -> 64x64 stage-2 seed
         assert mask.shape == (1, 64, 64, 1)
         assert np.isfinite(np.asarray(flow)).all()
+
+
+class TestIRRPWC:
+    def test_bidirectional_forward(self, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator({"type": "IRRPWC"})
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        flow_preds, occ_preds = model.apply(params, img, img)
+        for d in ("flow_fw", "flow_bw"):
+            assert set(flow_preds[d]) == {f"level{i}" for i in range(7)}
+            # refined levels carry [raw, refined] pairs
+            assert len(flow_preds[d]["level2"]) == 2
+            assert len(flow_preds[d]["level0"]) == 1
+        assert occ_preds["occ_fw"]["level0"][0].shape == (1, 64, 64, 1)
+        # shared decoders: ONE flow decoder used for every level + direction
+        assert "flow_decoders" in params["params"]
+        flow = model.apply(params, img, img, inference=True)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_local_conv_refine_smooths(self, rng):
+        from followyourclick_tpu.flow.irrpwc import LocalConvRefine
+
+        mod = LocalConvRefine(feat_channels=(8, 8))
+        feat = jax.random.normal(rng, (1, 8, 8, 4))
+        target = jax.random.normal(jax.random.PRNGKey(9), (1, 8, 8, 2)) * 10
+        params = mod.init(jax.random.PRNGKey(0), feat, target)
+        out = mod.apply(params, feat, target)
+        assert out.shape == target.shape
+        # a softmax-weighted local average cannot exceed the local max
+        assert float(jnp.abs(out).max()) <= float(jnp.abs(target).max()) + 1e-4
