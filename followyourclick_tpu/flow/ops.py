@@ -256,6 +256,7 @@ def local_correlation(
     max_displacement: int = 4,
     scaled: bool = False,
     dilation_patch: int = 1,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Local correlation volume (the mmcv CUDA ``Correlation`` op the
     reference registers at mmflow/mmflow/ops/builder.py:2, with kernel 1,
@@ -270,15 +271,19 @@ def local_correlation(
     d = max_displacement
     p = d * dilation_patch
     padded = jnp.pad(feat2, ((0, 0), (p, p), (p, p), (0, 0)))
+    f1 = feat1[:, ::stride, ::stride] if stride > 1 else feat1
     outs = []
-    # displacement grid at stride `dilation_patch` (mmcv dilation_patch):
-    # FlowNetC uses d=10, dilation_patch=2 → 21x21 taps at even offsets
+    # displacement grid at step `dilation_patch` (mmcv dilation_patch):
+    # FlowNetC uses d=10, dilation_patch=2 → 21x21 taps at even offsets;
+    # `stride` subsamples the OUTPUT positions (LiteFlowNet levels 2-3)
     for dy in range(2 * d + 1):
         for dx in range(2 * d + 1):
             oy = dy * dilation_patch
             ox = dx * dilation_patch
             shifted = padded[:, oy : oy + H, ox : ox + W, :]
-            outs.append(jnp.sum(feat1 * shifted, axis=-1))
+            if stride > 1:
+                shifted = shifted[:, ::stride, ::stride]
+            outs.append(jnp.sum(f1 * shifted, axis=-1))
     corr = jnp.stack(outs, axis=-1)
     if scaled:
         corr = corr / C

@@ -142,3 +142,19 @@ def _build_irrpwc(cfg):
             flow_div=dec.get("flow_div", 20.0),
         )
     )
+
+
+@register_flow_estimator("LiteFlowNet")
+def _build_liteflownet(cfg):
+    from followyourclick_tpu.flow.liteflownet import (
+        LiteFlowNet,
+        LiteFlowNetConfig,
+    )
+
+    dec = cfg.get("decoder", {})
+    return LiteFlowNet(
+        LiteFlowNetConfig(
+            flow_div=dec.get("flow_div", 20.0),
+            regularized_flow=dec.get("regularized_flow", True),
+        )
+    )

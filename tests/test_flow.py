@@ -457,3 +457,37 @@ class TestIRRPWC:
         assert out.shape == target.shape
         # a softmax-weighted local average cannot exceed the local max
         assert float(jnp.abs(out).max()) <= float(jnp.abs(target).max()) + 1e-4
+
+
+class TestLiteFlowNet:
+    def test_cascade_forward(self, rng):
+        from followyourclick_tpu.flow.registry import build_flow_estimator
+
+        model = build_flow_estimator({"type": "LiteFlowNet"})
+        img = jax.random.uniform(rng, (1, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds = model.apply(params, img, img)
+        assert set(preds) == {"level2", "level3", "level4", "level5",
+                              "level6"}
+        # NetC has stride 1 at level1: level2 is 1/2 res
+        assert preds["level2"].shape == (1, 32, 32, 2)
+        # cascaded M/S/R blocks exist per level
+        for name in ("NetM_level2", "NetS_level2", "NetR_level2"):
+            assert name in params["params"]
+        gt = jax.random.normal(rng, (1, 64, 64, 2)) * 3
+        assert float(multi_level_epe_loss(preds, gt)) > 0
+        flow = model.apply(params, img, img, inference=True)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_strided_correlation(self, rng):
+        from followyourclick_tpu.flow.ops import local_correlation
+
+        f = jax.random.normal(rng, (1, 8, 8, 4))
+        corr = local_correlation(f, f, max_displacement=3, dilation_patch=2,
+                                 stride=2)
+        assert corr.shape == (1, 4, 4, 49)
+        # centre tap at strided positions = squared norm at those positions
+        centre = np.asarray(corr[0, :, :, 24])
+        expect = np.asarray(jnp.sum(f[0, ::2, ::2] ** 2, axis=-1))
+        np.testing.assert_allclose(centre, expect, rtol=1e-5)
