@@ -110,14 +110,30 @@ class GroupNorm(nn.Module):
         xf = x.astype(jnp.float32)
         shape = x.shape[:-1] + (self.num_groups, c // self.num_groups)
         grouped = xf.reshape(shape)
-        # reduce over every non-batch, non-group axis
+        # reduce over every non-batch, non-group axis; one-pass moments
+        # (sum + sum-of-squares fuse into a single traversal — `.var()`
+        # centres first and costs an extra full read of the activation,
+        # measurable at clip-sized GroupNorms)
         axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
-        mean = grouped.mean(axis=axes, keepdims=True)
-        var = grouped.var(axis=axes, keepdims=True)
-        normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
-        normed = normed.reshape(x.shape)
+        n = 1.0
+        for a in axes:
+            n *= grouped.shape[a]
+        s1 = grouped.sum(axis=axes, keepdims=True)
+        s2 = (grouped * grouped).sum(axis=axes, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            normed = normed * scale + bias
-        return normed.astype(orig_dtype)
+            scale_g = scale.reshape(self.num_groups, c // self.num_groups)
+            bias_g = bias.reshape(self.num_groups, c // self.num_groups)
+            # fold affine into the normalization: y = x * a + b with
+            # a = inv*scale, b = bias - mean*inv*scale (one multiply-add
+            # per element instead of two)
+            a = inv * scale_g
+            b = bias_g - mean * a
+            normed = grouped * a + b
+        else:
+            normed = (grouped - mean) * inv
+        return normed.reshape(x.shape).astype(orig_dtype)
