@@ -31,18 +31,23 @@ def _leaky(x):
 
 class ConvStack(nn.Module):
     """One pyramid level: first conv strided, optional extra convs
-    (utils/basic_encoder.py BasicConvBlock)."""
+    (utils/basic_encoder.py BasicConvBlock). ``per_conv_channels`` overrides
+    ``out_channels`` with one width per conv (the SD/fusion encoders use
+    e.g. (64, 128) within one level)."""
 
     out_channels: int
     kernel_sizes: Tuple[int, ...]
     stride: int = 2
+    per_conv_channels: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for j, k in enumerate(self.kernel_sizes):
+            ch = (self.per_conv_channels[j] if self.per_conv_channels
+                  else self.out_channels)
             x = nn.Conv(
-                self.out_channels, (k, k),
+                ch, (k, k),
                 strides=(self.stride, self.stride) if j == 0 else (1, 1),
                 padding=k // 2, dtype=self.dtype, name=f"conv{j}",
             )(x)
@@ -51,11 +56,14 @@ class ConvStack(nn.Module):
 
 
 class FlowNetEncoder(nn.Module):
-    """Pyramid encoder; returns {level: feature}."""
+    """Pyramid encoder; returns {level: feature}. ``out_channels`` entries
+    may be tuples (one width per conv); ``strides`` defaults to 2 per level
+    (the fusion encoder uses stride 1 on its first level)."""
 
-    out_channels: Tuple[int, ...]
+    out_channels: Tuple[Union[int, Tuple[int, ...]], ...]
     kernel_sizes: Tuple[Union[int, Tuple[int, ...]], ...]
     num_convs: Tuple[int, ...]
+    strides: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,7 +73,11 @@ class FlowNetEncoder(nn.Module):
             ks = self.kernel_sizes[i]
             if isinstance(ks, int):
                 ks = (ks,) * self.num_convs[i]
-            x = ConvStack(ch, tuple(ks), dtype=self.dtype,
+            per_conv = tuple(ch) if isinstance(ch, (tuple, list)) else None
+            stride = self.strides[i] if self.strides else 2
+            x = ConvStack(ch if per_conv is None else per_conv[-1],
+                          tuple(ks), stride=stride,
+                          per_conv_channels=per_conv, dtype=self.dtype,
                           name=f"level{i + 1}")(x)
             feats[i + 1] = x
         return feats

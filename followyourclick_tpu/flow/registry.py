@@ -158,3 +158,10 @@ def _build_liteflownet(cfg):
             regularized_flow=dec.get("regularized_flow", True),
         )
     )
+
+
+@register_flow_estimator("FlowNet2")
+def _build_flownet2(cfg):
+    from followyourclick_tpu.flow.flownet2 import FlowNet2, FlowNet2Config
+
+    return FlowNet2(FlowNet2Config(flow_div=cfg.get("flow_div", 20.0)))
