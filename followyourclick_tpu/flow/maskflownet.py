@@ -134,7 +134,7 @@ class MaskFlowNetS(nn.Module):
 
     @nn.compact
     def __call__(self, img1, img2, inference: bool = False,
-                 return_mask: bool = False):
+                 return_mask: bool = False, return_features: bool = False):
         cfg = self.config
         encoder = PWCNetEncoder(
             PWCNetConfig(pyramid_channels=cfg.pyramid_channels,
@@ -182,6 +182,10 @@ class MaskFlowNetS(nn.Module):
         flow_pred[levels[-1]] = flow_pred[levels[-1]] + post
 
         preds = {f"level{k}": v for k, v in flow_pred.items()}
+        if return_features:
+            full_mask = upsample2_align_corners(
+                upsample2_align_corners(last_mask))
+            return flow_pred, full_mask, feat1, feat2
         if inference:
             H, W = img1.shape[1:3]
             fine = preds["level2"]
@@ -194,4 +198,85 @@ class MaskFlowNetS(nn.Module):
         if return_mask:
             return preds, upsample2_align_corners(
                 upsample2_align_corners(last_mask))
+        return preds
+
+
+class MaskFlowNet(nn.Module):
+    """Full two-stage MaskFlowNet (flow_estimators/maskflownet.py:57-153 +
+    MaskFlowNetDecoder, maskflownet_decoder.py:470-627).
+
+    Stage 1 (MaskFlowNetS) produces per-level flows and the learned
+    image-resolution occlusion mask; stage 2 re-encodes 4-channel inputs —
+    img1 ⧺ zeros and warp(img2, flow_div · 4x-upsampled stage-1 level-2
+    flow) ⧺ mask — through its own PWC pyramid, and refines per level with
+    DUAL d=2 correlations (a basic deform-warp of the stage-1 features by
+    the running flow, plus a plain stage-2 correlation), maskless decoder
+    modules with flow residuals, and a ContextNet."""
+
+    config: MaskFlowNetSConfig = MaskFlowNetSConfig()
+
+    @nn.compact
+    def __call__(self, img1, img2, inference: bool = False):
+        cfg = self.config
+        stage1 = MaskFlowNetS(cfg, name="maskflownetS")
+        flows1, mask1, feat1, feat2 = stage1(img1, img2,
+                                             return_features=True)
+
+        # stage-2 inputs (maskflownet.py:87-101)
+        up_flow_full = jax.image.resize(
+            flows1[2], (img1.shape[0],) + img1.shape[1:3] + (2,),
+            "bilinear") * cfg.flow_div
+        img1_in = jnp.concatenate([img1, jnp.zeros_like(mask1)], axis=-1)
+        warped2 = flow_warp(img2, up_flow_full)
+        img2_in = jnp.concatenate([warped2, mask1], axis=-1)
+
+        encoder2 = PWCNetEncoder(
+            PWCNetConfig(pyramid_channels=cfg.pyramid_channels,
+                         dtype=cfg.dtype), name="encoder")
+        feat3 = encoder2(img1_in)
+        feat4 = encoder2(img2_in)
+
+        d2 = 2  # stage-2 correlation displacement (maskflownet.py config)
+        levels = [6, 5, 4, 3, 2]
+        flow_pred = {}
+        upflow = upfeat = None
+        last_feat = None
+        for level in levels:
+            multiplier = cfg.flow_div * 2.0 ** (-level)
+            i_flow = flows1[level]
+            if level == levels[0]:
+                upflow = i_flow
+            # basic deform warp of the STAGE-1 features by the running flow
+            warped1 = DeformWarpBlock(
+                feat2[level].shape[-1], with_tradeoff=False, dtype=cfg.dtype,
+                name=f"warp_level{level}",
+            )(feat2[level], upflow * multiplier)
+            corr1 = _leaky(local_correlation(feat1[level], warped1, d2))
+            corr2 = _leaky(local_correlation(feat3[level], feat4[level], d2))
+            corr = jnp.concatenate([corr1, corr2], axis=-1)  # 50ch
+
+            if upfeat is None:
+                x = jnp.concatenate([corr, upflow], axis=-1)        # 52
+            else:
+                x = jnp.concatenate(
+                    [feat1[level], upfeat, corr, upflow, i_flow], axis=-1)
+            flow, _, last_feat, upflow, _, upfeat = MaskModule(
+                up_flow=(level != levels[-1]),
+                with_mask=False,
+                up_channels=cfg.up_channels,
+                densefeat_channels=cfg.densefeat_channels,
+                dtype=cfg.dtype, name=f"decoder_level{level}",
+            )(x, upflow)
+            flow_pred[level] = flow
+
+        post = ContextNet(cfg.context_channels, cfg.context_dilations,
+                          dtype=cfg.dtype, name="post_processor")(last_feat)
+        flow_pred[levels[-1]] = flow_pred[levels[-1]] + post
+
+        preds = {f"level{k}": v for k, v in flow_pred.items()}
+        if inference:
+            H, W = img1.shape[1:3]
+            fine = preds["level2"]
+            return jax.image.resize(
+                fine, (fine.shape[0], H, W, 2), "bilinear") * cfg.flow_div
         return preds

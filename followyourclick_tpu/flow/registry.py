@@ -165,3 +165,16 @@ def _build_flownet2(cfg):
     from followyourclick_tpu.flow.flownet2 import FlowNet2, FlowNet2Config
 
     return FlowNet2(FlowNet2Config(flow_div=cfg.get("flow_div", 20.0)))
+
+
+@register_flow_estimator("MaskFlowNet")
+def _build_maskflownet(cfg):
+    from followyourclick_tpu.flow.maskflownet import (
+        MaskFlowNet,
+        MaskFlowNetSConfig,
+    )
+
+    dec = cfg.get("decoder", {})
+    return MaskFlowNet(
+        MaskFlowNetSConfig(flow_div=dec.get("flow_div", 20.0))
+    )
