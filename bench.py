@@ -1,8 +1,15 @@
 """Benchmark harness — prints ONE JSON line with the driver metric.
 
 Workload (BASELINE.md): one 16-frame 512×512 clip, 25 DDIM steps, CFG on
-(2× UNet evals/step), bf16, single chip — the full jitted pipeline
-(CLIP text encode → fused denoise scan → frame-scanned VAE decode).
+(2× UNet evals/step), bf16, single chip — measured through the SHIPPED
+pipeline entry (``AnimationPipeline._sample_jit``: CLIP text encode → fused
+denoise scan with the 9-channel mask concat → frame-scanned VAE decode), so
+any pipeline regression shows up in the driver metric.
+
+The headline ``value`` is exact math (reference-parity CFG). The same JSON
+line also reports the opt-in serving approximation (cfg_cache_interval=3,
+the CFG-uncond caching family of Pyramid Attention Broadcast) as
+``optin_*`` fields — NOT reference behavior, off by default in the pipeline.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 ``published: {}``). We compare against an estimated PyTorch+xformers A100
@@ -26,118 +33,96 @@ def _zeros_like_tree(tree):
     return jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), tree)
 
 
-def main():
+def build_pipeline(dtype):
+    """Flagship-config pipeline with zeroed (shape-true) params."""
     from followyourclick_tpu.config import InferenceConfig
-    from followyourclick_tpu.models.clip_text import CLIPTextModel
-    from followyourclick_tpu.models.unet3d import (
-        UNet3DConditionModel,
-        UNetConditioning,
-    )
-    from followyourclick_tpu.models.vae import AutoencoderKL
-    from followyourclick_tpu.schedulers.ddim import DDIMSchedule, ddim_step
-
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    from followyourclick_tpu.models.unet3d import UNetConditioning
+    from followyourclick_tpu.pipelines.animation import AnimationPipeline
 
     cfg = InferenceConfig()
-    if on_tpu:
-        frames, height, width, steps = 16, 512, 512, 25
-    else:  # CPU sanity fallback (config 1): tiny workload
-        frames, height, width, steps = 8, 256, 256, 3
+    pipe = AnimationPipeline(cfg, None, None, None, dtype=dtype)
 
-    unet = UNet3DConditionModel(cfg.unet, dtype=dtype)
-    vae = AutoencoderKL(cfg.vae, dtype=dtype)
-    text = CLIPTextModel(cfg.clip_text, dtype=dtype)
-
-    b = 1
-    h, w = height // 8, width // 8
     rng = jax.random.PRNGKey(0)
-
+    b = 1
     ids = jnp.zeros((b, 77), jnp.int32)
-    sample = jnp.zeros((2 * b, frames, h, w, 9), dtype)
+    sample = jnp.zeros((2 * b, 4, 32, 32, 9), dtype)
     tsteps = jnp.zeros((2 * b,), jnp.int32)
     cond_shape = UNetConditioning(
         context=jnp.zeros((2 * b, 77, 768), dtype),
         fps=jnp.full((2 * b,), 8.0), motion_score=jnp.full((2 * b,), 20.0))
+    pipe.params = {
+        "unet": _zeros_like_tree(jax.eval_shape(
+            pipe.unet.init, rng, sample, tsteps, cond_shape))["params"],
+        "vae": _zeros_like_tree(jax.eval_shape(
+            pipe.vae.init, rng, jnp.zeros((1, 64, 64, 3), dtype),
+            rng))["params"],
+        "text_encoder": _zeros_like_tree(jax.eval_shape(
+            pipe.text_encoder.init, rng, ids))["params"],
+    }
+    return pipe
 
-    unet_params = _zeros_like_tree(
-        jax.eval_shape(unet.init, rng, sample, tsteps, cond_shape))
-    vae_params = _zeros_like_tree(
-        jax.eval_shape(vae.init, rng, jnp.zeros((1, height, width, 3), dtype),
-                       rng))
-    text_params = _zeros_like_tree(jax.eval_shape(text.init, rng, ids))
 
-    sched = DDIMSchedule.create(cfg.noise_scheduler, steps)
+def time_spec(pipe, spec, b, n_iters):
+    """Median wall time of the real pipeline program for one SampleSpec."""
+    h, w = spec.height // 8, spec.width // 8
+    dtype = pipe.dtype
+    ids = jnp.zeros((b, 77), jnp.int32)
+    neg_ids = jnp.zeros_like(ids)
     mask = jnp.ones((b, h, w, 1), dtype)
     first_latent = jnp.zeros((b, h, w, 4), dtype)
 
     @jax.jit
-    def clip_pipeline(unet_params, vae_params, text_params, ids, neg_ids,
-                      rng):
-        ctx_c, _ = text.apply(text_params, ids)
-        ctx_u, _ = text.apply(text_params, neg_ids)
-        context = jnp.concatenate([ctx_u, ctx_c], axis=0)
-        cond = UNetConditioning(context=context,
-                                fps=jnp.full((2 * b,), 8.0),
-                                motion_score=jnp.full((2 * b,), 20.0))
-        noise = jax.random.normal(rng, (b, 1, h, w, 4), dtype=jnp.float32)
-        latents = jnp.broadcast_to(noise, (b, frames, h, w, 4)).astype(dtype)
-
-        frame_idx = jnp.arange(frames)[None, :, None, None, None]
-        first_block = jnp.where(frame_idx == 0, first_latent[:, None], 0.0)
-        first_block = jnp.broadcast_to(first_block, (b, frames, h, w, 4))
-        mask_block = jnp.broadcast_to(mask[:, None], (b, frames, h, w, 1))
-        cond_channels = jnp.concatenate([mask_block, first_block], axis=-1)
-        cond_channels2 = jnp.concatenate([cond_channels] * 2, axis=0)
-
-        def step(lat, i):
-            x = jnp.concatenate([lat, cond_channels], axis=-1)
-            x2 = jnp.concatenate([x] * 2, axis=0)
-            t = jnp.broadcast_to(sched.timesteps[i], (2 * b,))
-            pred = unet.apply(unet_params, x2, t, cond)
-            u, c = jnp.split(pred, 2, axis=0)
-            pred = u + 8.0 * (c - u)
-            new, _ = ddim_step(sched, pred, i, lat)
-            return new.astype(dtype), ()
-
-        latents, _ = jax.lax.scan(step, latents, jnp.arange(steps))
-
-        z = latents / 0.18215
-        # one frame per scan step: measured faster than chunked decode at
-        # 512² on v5e (0.53 s vs 0.87 s for 16 frames — activation pressure)
-        @jax.checkpoint
-        def decode_frame(z_f):
-            return vae.apply(vae_params, z_f, method=vae.decode)
-
-        video = jax.lax.map(decode_frame, z.transpose(1, 0, 2, 3, 4))
-        video = jnp.clip(video.transpose(1, 0, 2, 3, 4) / 2 + 0.5, 0, 1)
+    def run(params, ids, neg_ids, rng):
+        video = pipe._sample_jit(
+            params, ids, neg_ids, rng, spec,
+            first_image_latents=first_latent, mask=mask,
+            fps=jnp.full((b,), 8.0), motion_score=jnp.full((b,), 20.0))
         # scalar checksum: forces full execution through the axon relay,
         # whose block_until_ready does not actually block
-        return video, jnp.sum(video)
+        return jnp.sum(video)
 
-    neg_ids = jnp.zeros_like(ids)
-    # warmup/compile
-    _, checksum = clip_pipeline(unet_params, vae_params, text_params, ids,
-                                neg_ids, rng)
-    float(checksum)
-
-    n_iters = 3 if on_tpu else 1
+    float(run(pipe.params, ids, neg_ids, jax.random.PRNGKey(0)))  # compile
     times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
-        _, checksum = clip_pipeline(unet_params, vae_params, text_params,
-                                    ids, neg_ids, jax.random.PRNGKey(i + 1))
-        float(checksum)  # force execution (see warmup note)
+        float(run(pipe.params, ids, neg_ids, jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
-    p50 = float(np.median(times))
+
+def main():
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        frames, height, width, steps, n_iters = 16, 512, 512, 25, 3
+    else:  # CPU sanity fallback (config 1): tiny workload
+        frames, height, width, steps, n_iters = 8, 256, 256, 3, 1
+
+    pipe = build_pipeline(dtype)
+    b = 1
+    spec = SampleSpec(video_length=frames, height=height, width=width,
+                      num_inference_steps=steps, guidance_scale=8.0,
+                      use_interpolate_noise=True)
+
+    p50 = time_spec(pipe, spec, b, n_iters)
     fps = frames * b / p50
+
+    # opt-in serving approximation: recompute the CFG uncond branch every
+    # 3rd step (SampleSpec.cfg_cache_interval; NOT reference behavior)
+    optin_spec = spec.replace(cfg_cache_interval=3)
+    optin_p50 = time_spec(pipe, optin_spec, b, n_iters)
+    optin_fps = frames * b / optin_p50
+
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_16f_512px_25step",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
         "p50_clip_latency_s": round(p50, 3),
+        "optin_cfg_cache3_fps": round(optin_fps, 3),
+        "optin_cfg_cache3_p50_s": round(optin_p50, 3),
         "workload": f"{frames}f_{height}px_{steps}steps_cfg",
         "backend": jax.default_backend(),
     }))

@@ -89,7 +89,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--flw_ctrl", type=int, default=4,
                    help="motion score (optical-flow magnitude) conditioning")
     p.add_argument("--use_ip", type=str, default="",
-                   choices=["", "raw", "plus"])
+                   choices=["", "raw", "vanilla", "plus"])
+    p.add_argument("--ip_ckpt", type=str, default="",
+                   help="released ip-adapter ckpt ({'image_proj','ip_adapter'}); "
+                        "normally the ip weights ride in the motion module ckpt")
     p.add_argument("--manually_input_image", action="store_true",
                    default=False)
     p.add_argument("--crop_method", type=str,
@@ -125,6 +128,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         assemble_pipeline_from_pretrained,
     )
     from followyourclick_tpu.utils.video_io import (
+        clip_preprocess_image,
         downsample_mask_to_latent,
         load_image_and_mask,
         save_videos_grid,
@@ -148,6 +152,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     dtype = {"auto": None, "bfloat16": jnp.bfloat16,
              "float32": jnp.float32}[args.dtype]
 
+    ip_mode = {"vanilla": "raw"}.get(args.use_ip, args.use_ip)
+
     for model_name, mc in model_config.items():
         motion_modules = mc.get("motion_module") or [None]
         if isinstance(motion_modules, str):
@@ -161,7 +167,26 @@ def main(argv: Optional[List[str]] = None) -> None:
                 lora_alpha=mc.get("lora_alpha", 0.6),
                 motion_lora_path=args.camera_motion_lora or None,
                 motion_lora_alpha=args.camera_motion_lora_alpha,
-                dtype=dtype)
+                dtype=dtype,
+                ip_mode=ip_mode,
+                image_encoder_path=args.image_pretrained_model_path or None,
+                ip_ckpt_path=args.ip_ckpt or None,
+                t5_path=mc.get("t5_path") or None)
+
+            # base T2I pipeline generates the first frame for manifest rows
+            # without an image (reference scripts/inference.py:194-204,
+            # 299-309) — same weights, motion modules off
+            t2i = None
+            if not args.manually_input_image or any(
+                    not it.get("image") for it in items):
+                from followyourclick_tpu.pipelines.text_to_image import (
+                    TextToImagePipeline,
+                )
+
+                t2i = TextToImagePipeline(
+                    inference_config, pipe.params["unet"],
+                    pipe.params["vae"], pipe.params["text_encoder"],
+                    tokenizer=pipe.tokenizer, dtype=pipe.dtype)
 
             steps = int(mc.get("steps", 25))
             guidance = float(mc.get("guidance_scale", 8.0))
@@ -177,44 +202,82 @@ def main(argv: Optional[List[str]] = None) -> None:
             if not isinstance(seeds, list):
                 seeds = [seeds]
 
-            for idx in shard:
-                item = items[idx]
-                prompt = item["prompt"] + POS_PROMPT
-                neg = mc.get("n_prompt", [NEG_PROMPT])
-                neg = neg[0] if isinstance(neg, list) else neg
-
-                first_latents = mask_latent = None
+            def prep_item(item, seed):
+                """One manifest row → (image[-1,1], mask or None).
+                Rows without an image get a generated first frame
+                (reference inference.py:299-309, 512², 50 steps, cfg 8)."""
                 if item.get("image"):
-                    img, mask = load_image_and_mask(
-                        item["image"], item.get("mask"), args.H, args.W)
-                    img_j = jnp.asarray(img)[None]
-                    first_latents = pipe.encode_image(pipe.params, img_j)
-                    if mask is not None:
-                        m = downsample_mask_to_latent(
-                            mask, args.H // 8, args.W // 8)
-                        mask_latent = jnp.asarray(m)[None]
+                    return load_image_and_mask(
+                        item["image"], item.get("mask"), args.H, args.W,
+                        crop_method=args.crop_method)
+                assert t2i is not None
+                img01 = t2i(item["prompt"] + POS_PROMPT,
+                            negative_prompt=NEG_PROMPT,
+                            height=args.H, width=args.W, steps=50,
+                            guidance_scale=8.0, seed=seed)[0]
+                return img01 * 2.0 - 1.0, None
+
+            # --batch_size clips sampled per pipeline call (the fused
+            # sampler takes B>1); --n_samples repeats per prompt with
+            # fresh seeds (reference flags inference.py:441-442)
+            work = [(idx, s) for idx in shard for s in range(args.n_samples)]
+            for start in range(0, len(work), args.batch_size):
+                group = work[start:start + args.batch_size]
+                prompts, negs, imgs, masks, grp_seeds = [], [], [], [], []
+                for idx, s in group:
+                    item = items[idx]
+                    prompts.append(item["prompt"] + POS_PROMPT)
+                    neg = mc.get("n_prompt", [NEG_PROMPT])
+                    negs.append(neg[0] if isinstance(neg, list) else neg)
+                    seed = seeds[s % len(seeds)] if seeds else -1
+                    if seed is None or int(seed) < 0:
+                        seed = np.random.randint(0, 2 ** 31 - 1)
+                    seed = int(seed) + s
+                    grp_seeds.append(seed)
+                    img, mask = prep_item(item, seed)
+                    imgs.append(img)
+                    masks.append(mask)
+
+                first_latents = pipe.encode_image(
+                    pipe.params, jnp.asarray(np.stack(imgs)))
+                mask_latent = None
+                if any(m is not None for m in masks):
+                    lat = [downsample_mask_to_latent(
+                        m if m is not None
+                        else np.ones((args.H, args.W, 1), np.float32),
+                        args.H // 8, args.W // 8) for m in masks]
+                    mask_latent = jnp.asarray(np.stack(lat))
 
                 partial_mask = None
-                if args.mask_first_frame and first_latents is not None:
-                    # conditioning-corruption replica (inference.py:370-372)
-                    rng = np.random.RandomState(0)
+                if args.mask_first_frame:
+                    # conditioning-corruption replica (inference.py:370-372):
+                    # one 0.5-threshold spatial mask broadcast over batch and
+                    # channels (rand_like(...)[:1,:1] upstream)
+                    rng = np.random.RandomState(grp_seeds[0])
+                    h8, w8 = args.H // 8, args.W // 8
                     partial_mask = jnp.asarray(
-                        (rng.rand(*first_latents.shape) > 0.5)
-                        .astype(np.float32))
-                    first_latents = first_latents * partial_mask
+                        (rng.rand(1, h8, w8, 1) > 0.5).astype(np.float32))
 
-                seed = seeds[0] if seeds else -1
-                if seed is None or int(seed) < 0:
-                    seed = np.random.randint(0, 2 ** 31 - 1)
+                ip_image = None
+                if ip_mode:
+                    # condition image = the first frame (inference.py:321-322)
+                    ip_image = np.concatenate(
+                        [clip_preprocess_image(im) for im in imgs])
+
                 video = pipe(
-                    [prompt], negative_prompt=[neg], spec=spec,
+                    prompts, negative_prompt=negs, spec=spec,
                     first_image_latents=first_latents, mask=mask_latent,
                     fps=float(args.fps), motion_score=float(args.flw_ctrl),
-                    seed=int(seed))
-                name = f"{item['idx']}-{prompt[:60].replace('/', '')}.gif"
-                save_videos_grid(video, os.path.join(savedir, name),
-                                 fps=8)
-                print(f"[{model_name}] saved {name}")
+                    seed=int(grp_seeds[0]), ip_image=ip_image,
+                    partial_mask=partial_mask)
+                for bi, (idx, s) in enumerate(group):
+                    prompt = prompts[bi]
+                    name = (f"{items[idx]['idx']}-{s}-"
+                            f"{prompt[:60].replace('/', '')}.gif")
+                    save_videos_grid(video[bi:bi + 1],
+                                     os.path.join(savedir, name), fps=8)
+                    print(f"[{model_name}] saved {name} "
+                          f"(seed {grp_seeds[bi]})")
 
     with open(os.path.join(savedir, "config_snapshot.yaml"), "w") as f:
         yaml.safe_dump({"args": vars(args), "models": model_config}, f)

@@ -76,7 +76,18 @@ class CrossAttention(nn.Module):
         if self.upcast_attention:
             q, k = q.astype(jnp.float32), k.astype(jnp.float32)
 
-        out = dot_product_attention(q, k, v, bias=attention_bias)
+        # Upstream quirk, reproduced for checkpoint parity: the reference's
+        # IPCrossAttention.__init__ overwrites the inherited softmax scale
+        # (dim_head**-0.5) with the ip mixing weight (reference
+        # animatediff/models/attention.py:43 after diffusers CrossAttention
+        # set it), and diffusers `_attention` uses self.scale as the baddbmm
+        # alpha — so with ip enabled BOTH the base and ip attention run with
+        # scale = ip_scale (1.0 in released configs). Released ip weights
+        # were trained under this behavior.
+        attn_scale = self.ip_scale if self.ip_num_tokens > 0 else None
+
+        out = dot_product_attention(q, k, v, bias=attention_bias,
+                                    scale=attn_scale)
 
         if ip_context is not None:
             to_k_ip = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
@@ -87,7 +98,7 @@ class CrossAttention(nn.Module):
             ip_v = split_heads(to_v_ip(ip_context))
             if self.upcast_attention:
                 ip_k = ip_k.astype(jnp.float32)
-            ip_out = dot_product_attention(q, ip_k, ip_v)
+            ip_out = dot_product_attention(q, ip_k, ip_v, scale=attn_scale)
             out = out + self.ip_scale * ip_out
 
         out = out.reshape(b, s, inner_dim).astype(hidden_states.dtype)
@@ -181,8 +192,13 @@ class BasicTransformerBlock(nn.Module):
                 ip_scale=self.ip_scale, dtype=self.dtype,
                 name="attn2")(normed, context=context) + h
 
-        # 3. optional second (T5) text cross-attention, zero-init out proj
-        if self.use_text_encoder_2 and self.cross_attention_dim is not None:
+        # 3. optional second (T5) text cross-attention, zero-init out proj.
+        # Skipped when no T5 context is supplied (the reference gates this on
+        # the per-call use_text_encoder_2 flag, e.g. the video_scale per-frame
+        # pass runs without it, pipeline_animation.py:744-751) — falling back
+        # to context=None would silently self-attend instead.
+        if (self.use_text_encoder_2 and self.cross_attention_dim is not None
+                and context_2 is not None):
             normed = _layer_norm("norm_t5", self.dtype)(h)
             h = CrossAttention(
                 query_dim=self.dim, heads=self.num_attention_heads,

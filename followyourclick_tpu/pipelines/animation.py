@@ -78,19 +78,25 @@ class AnimationPipeline:
         tokenizer=None,
         dtype=jnp.float32,
         mesh=None,
+        ip_adapter_params=None,
+        ip_plus: bool = False,
+        ip_vision_config=None,
+        t5_params=None,
+        tokenizer_2=None,
+        t5_config=None,
     ):
         self.config = config
         self.dtype = dtype
         self.unet = UNet3DConditionModel(config.unet, dtype=dtype)
-        if config.unet.use_fps_condition:
-            # per-frame uncond pass for video_scale guidance runs without fps
-            # conditioning (reference pipeline_animation.py:744-751 calls the
-            # UNet with text only)
-            self.unet_plain = UNet3DConditionModel(
-                dataclasses.replace(config.unet, use_fps_condition=False),
-                dtype=dtype)
-        else:
-            self.unet_plain = self.unet
+        # per-frame uncond pass for video_scale guidance: the reference calls
+        # the UNet with default flags (pipeline_animation.py:744-751) — no
+        # fps, no ip token injection, no T5 — so mirror that with a config
+        # where those paths are off (same params; unused subtrees ignored)
+        plain_cfg = dataclasses.replace(
+            config.unet, use_fps_condition=False,
+            use_ip_cross_attention=False)
+        self.unet_plain = (self.unet if plain_cfg == config.unet
+                           else UNet3DConditionModel(plain_cfg, dtype=dtype))
         self.vae = AutoencoderKL(config.vae, dtype=dtype)
         self.text_encoder = CLIPTextModel(config.clip_text, dtype=dtype)
         self.params = {
@@ -100,6 +106,37 @@ class AnimationPipeline:
         }
         self.tokenizer = tokenizer
         self.mesh = mesh
+
+        # optional IP-Adapter image-prompt tower (reference
+        # scripts/inference_w_image_cond.py:283-310: condition image → CLIP
+        # vision → ImageProjModel/Resampler tokens → concat onto context)
+        self.ip_adapter = None
+        if ip_adapter_params is not None:
+            from followyourclick_tpu.models.ip_adapter import (
+                CLIPVisionConfig,
+                IPAdapter,
+            )
+
+            self.ip_adapter = IPAdapter(
+                vision_config=ip_vision_config or CLIPVisionConfig(),
+                cross_attention_dim=config.unet.cross_attention_dim,
+                num_tokens=config.unet.ip_num_tokens,
+                plus=ip_plus, dtype=dtype)
+            self.params["ip_adapter"] = ip_adapter_params
+
+        # optional T5 second text tower (reference _encode_prompt_2,
+        # pipeline_animation.py:248-398; raw hidden states — the zero-init
+        # projection lives inside the UNet, unet.py:597-599)
+        self.t5 = None
+        self.tokenizer_2 = tokenizer_2
+        if t5_params is not None:
+            from followyourclick_tpu.models.t5_text import (
+                T5Config,
+                T5EncoderModel,
+            )
+
+            self.t5 = T5EncoderModel(t5_config or T5Config(), dtype=dtype)
+            self.params["t5"] = t5_params
 
     # ------------------------------------------------------------------
     # host-side text handling (reference _encode_prompt tokenization part)
@@ -128,6 +165,44 @@ class AnimationPipeline:
         uncond, _ = self.text_encoder.apply({"params": params["text_encoder"]},
                                             neg_input_ids)
         return jnp.concatenate([uncond, cond], axis=0)
+
+    def tokenize_2(self, prompts: Sequence[str],
+                   negative_prompts: Optional[Sequence[str]] = None,
+                   max_length: int = 77):
+        """T5 tokenization for the second text tower (reference
+        _encode_prompt_2 tokenization, pipeline_animation.py:248-320)."""
+        assert self.tokenizer_2 is not None, "pipeline built without T5 tokenizer"
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        enc = self.tokenizer_2(list(prompts), padding="max_length",
+                               max_length=max_length, truncation=True,
+                               return_tensors="np")
+        neg = self.tokenizer_2(list(negative_prompts), padding="max_length",
+                               max_length=max_length, truncation=True,
+                               return_tensors="np")
+        return (np.asarray(enc.input_ids), np.asarray(enc.attention_mask),
+                np.asarray(neg.input_ids), np.asarray(neg.attention_mask))
+
+    def encode_prompt_t5(self, params, input_ids, attention_mask,
+                         neg_input_ids, neg_attention_mask) -> jnp.ndarray:
+        """CFG-batched raw T5 states [uncond; cond] (reference :248-398).
+        The zero-init projection into cross-attn runs inside the UNet."""
+        cond = self.t5.apply({"params": params["t5"]}, input_ids,
+                             attention_mask)
+        uncond = self.t5.apply({"params": params["t5"]}, neg_input_ids,
+                               neg_attention_mask)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def encode_image_prompt(self, params, pixel_values: jnp.ndarray):
+        """Condition image (B, 224, 224, 3) CLIP-normalized → CFG-batched ip
+        tokens (2B, N, 768) ready to concat onto the text context
+        (reference my_ip_adapter.py get_image_clip_feat :127-134/:274-284 +
+        unet.py:592-594 token concat; here projected once per clip since the
+        tokens are timestep-independent)."""
+        assert self.ip_adapter is not None, "pipeline built without IP-Adapter"
+        cond_tok, uncond_tok = self.ip_adapter.apply(
+            {"params": params["ip_adapter"]}, pixel_values)
+        return jnp.concatenate([uncond_tok, cond_tok], axis=0)
 
     def encode_image(self, params, image: jnp.ndarray,
                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -230,10 +305,19 @@ class AnimationPipeline:
             cond = cond.replace(reference_images_latent=dup(
                 first_image_latents))
 
-        plain_context = context[:b]  # uncond half for the per-frame pass
         cfg_cache = (do_cfg and spec.video_scale == 0
                      and spec.cfg_cache_interval > 1)
         S = spec.num_inference_steps
+        if spec.eta > 0:
+            # stochastic DDIM needs per-step noise (reference passes
+            # eta through scheduler.step, scheduling_ddim.py:356-366)
+            assert rng is not None, "eta > 0 requires rng for DDIM noise"
+
+        def _step_noise(i):
+            if spec.eta <= 0:
+                return None
+            return jax.random.normal(jax.random.fold_in(rng, i),
+                                     (b, f, h, w, 4), dtype=jnp.float32)
 
         def step(carry, i):
             latents, cached_uncond = carry
@@ -271,7 +355,7 @@ class AnimationPipeline:
                 noise_pred = uncond_pred + spec.guidance_scale * (
                     text_pred - uncond_pred)
                 new_latents, _ = ddim_step(sched, noise_pred, i, latents,
-                                           eta=spec.eta)
+                                           eta=spec.eta, noise=_step_noise(i))
                 return (new_latents, uncond_pred), ()
 
             noise_pred = self._unet_apply(params["unet"], x, t_batch, cond)
@@ -280,10 +364,20 @@ class AnimationPipeline:
                 uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
                 if spec.video_scale > 0:
                     # per-frame uncond pass: frames folded to batch, F=1,
-                    # text-only conditioning (reference :738-751)
+                    # fps/ip/t5-free UNet call (reference :738-751). The
+                    # reference pairs frame k with row k of
+                    # cat([text_embeddings]*f).chunk(2)[0] — i.e. a TILED
+                    # [uncond;cond;uncond;...] pattern, not pure uncond; we
+                    # reproduce it exactly for parity. ip tokens never enter
+                    # this pass (they are injected inside the reference UNet
+                    # only when use_ip_cross_attention is passed).
                     xs = jnp.split(x, 2, axis=0)[0]
                     xs = xs.reshape(b * f, 1, h, w, xs.shape[-1])
-                    ctx_f = jnp.repeat(plain_context, f, axis=0)
+                    base_ctx = context
+                    if ucfg.use_ip_cross_attention:
+                        base_ctx = context[:, :context.shape[1]
+                                           - ucfg.ip_num_tokens]
+                    ctx_f = jnp.tile(base_ctx, (f, 1, 1))[: b * f]
                     frame_pred = self.unet_plain.apply(
                         {"params": params["unet"]}, xs,
                         jnp.broadcast_to(t, (b * f,)),
@@ -298,7 +392,7 @@ class AnimationPipeline:
                         text_pred - uncond_pred)
 
             new_latents, _ = ddim_step(sched, noise_pred, i, latents,
-                                       eta=spec.eta)
+                                       eta=spec.eta, noise=_step_noise(i))
             return (new_latents, carry[1]), ()
 
         init_carry = (latents, jnp.zeros((b, f, h, w, 4), latents.dtype))
@@ -340,17 +434,37 @@ class AnimationPipeline:
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("spec",))
     def _sample_jit(self, params, input_ids, neg_input_ids, rng, spec,
                     first_image_latents=None, mask=None, fps=None,
-                    motion_score=None, camera_motion_type=None):
+                    motion_score=None, camera_motion_type=None,
+                    partial_mask=None, ip_pixel_values=None,
+                    t5_input_ids=None, t5_attention_mask=None,
+                    t5_neg_input_ids=None, t5_neg_attention_mask=None):
         context = self.encode_prompt(params, input_ids, neg_input_ids)
         b = input_ids.shape[0]
+        if ip_pixel_values is not None:
+            # image-prompt tokens appended to the text sequence; attended
+            # through the decoupled to_k_ip/to_v_ip path (attention.py)
+            ip_tokens = self.encode_image_prompt(params, ip_pixel_values)
+            context = jnp.concatenate(
+                [context, ip_tokens.astype(context.dtype)], axis=1)
+        context_t5 = None
+        if t5_input_ids is not None:
+            context_t5 = self.encode_prompt_t5(
+                params, t5_input_ids, t5_attention_mask,
+                t5_neg_input_ids, t5_neg_attention_mask)
+        if spec.eta > 0:
+            noise_rng, eta_rng = jax.random.split(rng)
+        else:  # keep round-1 seed→noise mapping when deterministic
+            noise_rng, eta_rng = rng, None
         latents = self.prepare_latents(
-            rng, b, spec,
+            noise_rng, b, spec,
             init_latents=(first_image_latents
                           if spec.use_first_image_as_init_latents else None))
         latents = self.denoise(
             params, latents, context, spec,
-            first_image_latents=first_image_latents, mask=mask, fps=fps,
-            motion_score=motion_score, camera_motion_type=camera_motion_type)
+            first_image_latents=first_image_latents, mask=mask,
+            partial_mask=partial_mask, fps=fps,
+            motion_score=motion_score, camera_motion_type=camera_motion_type,
+            context_t5=context_t5, rng=eta_rng)
         return self.decode_latents(params, latents)
 
     def __call__(
@@ -364,15 +478,42 @@ class AnimationPipeline:
         motion_score: float | None = 20.0,
         camera_motion_type: float | None = None,
         seed: int = 0,
+        ip_image=None,
+        partial_mask=None,
     ) -> np.ndarray:
-        """End-to-end: prompts (+ image latents + click mask) → video array
-        (B, F, H, W, 3) float32 in [0, 1]."""
+        """End-to-end: prompts (+ image latents + click mask + optional
+        condition image for IP-Adapter) → video array (B, F, H, W, 3)
+        float32 in [0, 1].
+
+        ``ip_image``: CLIP-preprocessed pixel values (B, 224, 224, 3); built
+        host-side with ``utils.video_io.clip_preprocess_image``.
+        """
         if isinstance(prompt, str):
             prompt = [prompt]
         if isinstance(negative_prompt, str):
             negative_prompt = [negative_prompt] * len(prompt)
         input_ids, neg_ids = self.tokenize(prompt, negative_prompt)
         b = input_ids.shape[0]
+
+        t5_kwargs = {}
+        if self.t5 is not None and self.config.unet.use_text_encoder_2:
+            ids2, m2, nids2, nm2 = self.tokenize_2(prompt, negative_prompt)
+            t5_kwargs = dict(
+                t5_input_ids=jnp.asarray(ids2),
+                t5_attention_mask=jnp.asarray(m2),
+                t5_neg_input_ids=jnp.asarray(nids2),
+                t5_neg_attention_mask=jnp.asarray(nm2))
+
+        ip_kwargs = {}
+        if ip_image is not None:
+            assert self.ip_adapter is not None, (
+                "pass ip_adapter_params to the pipeline to use ip_image")
+            ip_kwargs = dict(ip_pixel_values=jnp.asarray(ip_image))
+        elif self.config.unet.use_ip_cross_attention:
+            raise ValueError(
+                "unet.use_ip_cross_attention is on: the attention layers "
+                "treat the last ip_num_tokens of the context as image tokens, "
+                "so an ip_image (CLIP pixel values) is required")
 
         def bcast(v):
             if v is None:
@@ -389,5 +530,6 @@ class AnimationPipeline:
             self.params, jnp.asarray(input_ids), jnp.asarray(neg_ids),
             jax.random.PRNGKey(seed), spec,
             first_image_latents=first_image_latents, mask=mask,
-            fps=fps_arr, motion_score=ms_arr, camera_motion_type=cam_arr)
+            fps=fps_arr, motion_score=ms_arr, camera_motion_type=cam_arr,
+            partial_mask=partial_mask, **ip_kwargs, **t5_kwargs)
         return np.asarray(video)

@@ -26,16 +26,37 @@ from followyourclick_tpu.pipelines.animation import VAE_SCALE
 from followyourclick_tpu.schedulers.ddim import DDIMSchedule, ddim_step
 
 
+def slice_conv_in(unet_params, in_channels: int = 4):
+    """Video-UNet params → T2I params: cut the widened conv_in kernel back to
+    its first ``in_channels`` input channels (the inverse of the 2D→3D
+    inflation, reference unet.py:709-717 — channels 0..3 hold the 2D conv)."""
+    import jax
+
+    params = jax.tree_util.tree_map(lambda x: x, unet_params)
+    node = params["conv_in"]["conv"]
+    kernel = node["kernel"]
+    if kernel.shape[2] > in_channels:
+        node["kernel"] = kernel[:, :, :in_channels]
+    return params
+
+
 class TextToImagePipeline:
-    """Standard SD text→image sampling with the 4-channel 2D UNet config."""
+    """Standard SD text→image sampling with the 4-channel 2D UNet config.
+
+    ``unet_params`` may be the video pipeline's (9-channel conv_in) params —
+    they are sliced back to 4 input channels automatically."""
 
     def __init__(self, config: InferenceConfig, unet_params, vae_params,
                  text_encoder_params, tokenizer=None, dtype=jnp.float32):
+        cin = unet_params.get("conv_in", {}).get("conv", {}).get("kernel")
+        if cin is not None and cin.shape[2] != 4:
+            unet_params = slice_conv_in(unet_params, 4)
         ucfg = dataclasses.replace(
             config.unet, use_motion_module=False,
             use_first_frame_mask_condition_concat=False,
             use_first_frame_condition_concat=False,
-            use_fps_condition=False)
+            use_fps_condition=False,
+            use_ip_cross_attention=False)
         self.config = config
         self.dtype = dtype
         self.unet = UNet3DConditionModel(ucfg, dtype=dtype)

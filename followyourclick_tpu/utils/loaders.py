@@ -123,10 +123,20 @@ def assemble_pipeline_from_pretrained(
     motion_lora_path: Optional[str] = None,
     motion_lora_alpha: float = 1.0,
     dtype=None,
+    ip_mode: str = "",                      # "" | "raw"/"vanilla" | "plus"
+    image_encoder_path: Optional[str] = None,  # HF CLIP-vision dir
+    ip_ckpt_path: Optional[str] = None,     # released ip ckpt (optional —
+    # the reference's ip weights normally ride inside the motion-module ckpt,
+    # loaded non-strict after init_proj; scripts/inference.py:160-181)
+    t5_path: Optional[str] = None,          # HF T5 encoder dir
 ):
     """The full reference assembly flow (scripts/inference.py:152-247):
     SD-1.5 dir → UNet3D inflation → motion module ckpt → optional
-    personalized LDM ckpt → optional LoRA merges → AnimationPipeline."""
+    personalized LDM ckpt → optional LoRA merges → optional IP-Adapter
+    (vanilla 4 tokens / plus 16 tokens, inference.py:160-167) → optional T5
+    second text tower → AnimationPipeline."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -148,6 +158,16 @@ def assemble_pipeline_from_pretrained(
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
             else jnp.float32
 
+    if ip_mode:
+        # vanilla → 4 tokens via ImageProjModel; plus → 16 via Resampler
+        # (reference scripts/inference.py:162-165)
+        num_tokens = 16 if ip_mode == "plus" else 4
+        inference_config = dataclasses.replace(
+            inference_config,
+            unet=dataclasses.replace(inference_config.unet,
+                                     use_ip_cross_attention=True,
+                                     ip_num_tokens=num_tokens))
+
     ucfg = inference_config.unet
     unet = UNet3DConditionModel(ucfg, dtype=dtype)
 
@@ -168,16 +188,30 @@ def assemble_pipeline_from_pretrained(
 
     b, f = 1, 4
     h = w = (ucfg.sample_size or 32)
+    ctx_len = 77 + (ucfg.ip_num_tokens if ucfg.use_ip_cross_attention else 0)
     example = (
         jnp.zeros((b, f, h, w, ucfg.conv_in_channels), dtype),
         jnp.zeros((b,), jnp.int32),
         UNetConditioning(
-            context=jnp.zeros((b, 77, ucfg.cross_attention_dim), dtype),
+            context=jnp.zeros((b, ctx_len, ucfg.cross_attention_dim), dtype),
             fps=jnp.zeros((b,)) if ucfg.use_fps_condition else None,
-            motion_score=jnp.zeros((b,)) if ucfg.use_fps_condition else None),
+            motion_score=jnp.zeros((b,)) if ucfg.use_fps_condition else None,
+            context_t5=(jnp.zeros((b, 77, ucfg.text_encoder_2_dim), dtype)
+                        if ucfg.use_text_encoder_2 else None)),
     )
     mm_state = load_torch_file(motion_module_path) if motion_module_path \
         else None
+    mm_image_proj = None
+    if mm_state is not None:
+        # the reference's ip weights ride in the motion-module ckpt (loaded
+        # non-strict after unet.image_proj_model = init_proj()); peel the
+        # projection model off — the pipeline owns it here
+        mm_image_proj = {
+            k[len("image_proj_model."):]: v for k, v in mm_state.items()
+            if k.startswith("image_proj_model.")}
+        if mm_image_proj:
+            mm_state = {k: v for k, v in mm_state.items()
+                        if not k.startswith("image_proj_model.")}
     unet_params = load_unet3d_params(unet, sd_unet, mm_state,
                                      example_inputs=example)
     vae_params = convert_vae_state_dict(sd_vae)
@@ -190,6 +224,26 @@ def assemble_pipeline_from_pretrained(
         unet_params = merge_motion_lora(
             unet_params, load_torch_file(motion_lora_path), motion_lora_alpha)
 
+    ip_adapter_params = None
+    if ip_mode:
+        ip_adapter_params, unet_params = assemble_ip_adapter_params(
+            inference_config, ip_mode, unet_params,
+            image_encoder_path=image_encoder_path,
+            ip_ckpt_path=ip_ckpt_path, mm_image_proj=mm_image_proj,
+            dtype=dtype)
+
+    t5_params = tokenizer_2 = None
+    if t5_path:
+        from followyourclick_tpu.models.t5_text import convert_t5_state_dict
+
+        t5_params = convert_t5_state_dict(load_hf_subfolder(t5_path, ""))
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer_2 = AutoTokenizer.from_pretrained(t5_path)
+        except Exception:
+            pass
+
     tokenizer = None
     try:
         from transformers import CLIPTokenizer
@@ -201,7 +255,79 @@ def assemble_pipeline_from_pretrained(
 
     return AnimationPipeline(
         inference_config, unet_params, vae_params, text_params,
-        tokenizer=tokenizer, dtype=dtype)
+        tokenizer=tokenizer, dtype=dtype,
+        ip_adapter_params=ip_adapter_params, ip_plus=(ip_mode == "plus"),
+        t5_params=t5_params, tokenizer_2=tokenizer_2)
+
+
+def assemble_ip_adapter_params(
+    inference_config,
+    ip_mode: str,
+    unet_params: Dict,
+    image_encoder_path: Optional[str] = None,
+    ip_ckpt_path: Optional[str] = None,
+    mm_image_proj: Optional[Dict] = None,
+    dtype=None,
+):
+    """Build IPAdapter params (CLIP-vision tower + projection) and graft the
+    decoupled ip k/v weights onto the UNet, from whichever sources exist:
+    a released ip ckpt ({'image_proj','ip_adapter'}), the motion-module
+    ckpt's image_proj_model.* keys, or random init (reference
+    my_ip_adapter.py:85-125 load order). Returns (ip_params, unet_params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from followyourclick_tpu.models.ip_adapter import (
+        CLIPVisionConfig,
+        IPAdapter,
+    )
+    from followyourclick_tpu.utils.convert import (
+        convert_clip_vision_state_dict,
+        convert_image_proj_state_dict,
+        convert_resampler_state_dict,
+        graft_ip_cross_attention,
+        merge_params,
+    )
+
+    vcfg = CLIPVisionConfig()
+    module = IPAdapter(
+        vision_config=vcfg,
+        cross_attention_dim=inference_config.unet.cross_attention_dim,
+        num_tokens=inference_config.unet.ip_num_tokens,
+        plus=(ip_mode == "plus"), dtype=dtype or jnp.float32)
+    dummy = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    params = jax.tree_util.tree_map(
+        np.asarray, module.init(jax.random.PRNGKey(0), dummy)["params"])
+
+    if image_encoder_path:
+        vision_sd = load_hf_subfolder(image_encoder_path, "")
+        params["image_encoder"] = merge_params(
+            params["image_encoder"], convert_clip_vision_state_dict(vision_sd))
+
+    proj_sd = None
+    if ip_ckpt_path:
+        state = load_torch_file_nested(ip_ckpt_path)
+        proj_sd = {k: _np(v) for k, v in state["image_proj"].items()}
+        unet_params = graft_ip_cross_attention(unet_params,
+                                               state["ip_adapter"])
+    elif mm_image_proj:
+        proj_sd = mm_image_proj
+    if proj_sd is not None:
+        conv = (convert_resampler_state_dict if ip_mode == "plus"
+                else convert_image_proj_state_dict)
+        params["image_proj_model"] = merge_params(
+            params["image_proj_model"], conv(proj_sd))
+    return params, unet_params
+
+
+def load_torch_file_nested(path: str) -> Dict:
+    """Like ``load_torch_file`` but preserves one level of nesting (the
+    released ip ckpts are ``{'image_proj': {...}, 'ip_adapter': {...}}``)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    return raw
 
 
 def load_ip_adapter(ckpt_path_or_dict, unet_params, plus: bool = False):

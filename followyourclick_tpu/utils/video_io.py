@@ -44,9 +44,14 @@ def save_video_mp4(video: np.ndarray, path: str, fps: int = 8) -> None:
 
 
 def load_image_and_mask(image_path: str, mask_path: str | None,
-                        height: int, width: int):
-    """Load + resize/center-crop first image and mask to (H, W)
+                        height: int, width: int,
+                        crop_method: str = "crop"):
+    """Load + preprocess first image and mask to (H, W)
     (reference scripts/inference.py:314-348 host preprocessing).
+
+    ``crop_method``: "crop" = aspect-preserving Resize(max(W,H)) +
+    CenterCrop (reference pixel_transforms :314-317); "resize_and_crop" =
+    squash to a max(W,H) square then center-crop (reference :325-340).
 
     Returns (image float32 (H, W, 3) in [-1, 1], mask float32 (H, W, 1) in
     {0, 1} or None).
@@ -54,16 +59,59 @@ def load_image_and_mask(image_path: str, mask_path: str | None,
     from PIL import Image
 
     img = Image.open(image_path).convert("RGB")
-    img = _resize_center_crop(img, height, width)
+    img = preprocess_pil(img, height, width, crop_method)
     arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
 
     mask_arr = None
     if mask_path:
         m = Image.open(mask_path).convert("L")
-        m = _resize_center_crop(m, height, width)
+        m = preprocess_pil(m, height, width, crop_method)
         mask_arr = (np.asarray(m, dtype=np.float32) / 255.0)
         mask_arr = (mask_arr > 0.5).astype(np.float32)[..., None]
     return arr, mask_arr
+
+
+def preprocess_pil(img, height: int, width: int, crop_method: str = "crop"):
+    """One image through the reference crop pipeline (inference.py:314-348)."""
+    if crop_method == "resize_and_crop":
+        # squash to a square of side max(W, H), then center-crop (H, W)
+        target = max(width, height)
+        img = img.resize((target, target))
+        left = round(max(0, (target - width) / 2))
+        top = round(max(0, (target - height) / 2))
+        right = round(min(target, (target + width) / 2))
+        bottom = round(min(target, (target + height) / 2))
+        return img.crop((left, top, right, bottom))
+    if crop_method == "crop":
+        return _resize_center_crop(img, height, width)
+    raise ValueError(crop_method)
+
+
+# CLIP image normalization constants (transformers CLIPImageProcessor)
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_preprocess_image(image, image_size: int = 224) -> np.ndarray:
+    """PIL image or float array → CLIP-vision pixel values (1, S, S, 3)
+    (the host-side replica of transformers CLIPImageProcessor used by the
+    reference's ip path, scripts/inference.py:321-322)."""
+    from PIL import Image
+
+    if isinstance(image, np.ndarray):
+        arr = image
+        if arr.dtype != np.uint8:
+            # accept [-1,1] or [0,1] float arrays
+            lo, hi = float(arr.min()), float(arr.max())
+            if lo < -0.01:
+                arr = (arr + 1.0) / 2.0
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        image = Image.fromarray(arr)
+    img = image.convert("RGB")
+    img = _resize_center_crop(img, image_size, image_size)
+    x = np.asarray(img, dtype=np.float32) / 255.0
+    x = (x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    return x[None]
 
 
 def _resize_center_crop(img, height: int, width: int):
