@@ -275,9 +275,11 @@ def pndm_step(
 
 @flax.struct.dataclass
 class DPMSolverState:
-    prev_output: jnp.ndarray       # last converted model output
+    prev_output: jnp.ndarray       # last converted model output (m1)
     prev_timestep: jnp.ndarray     # its timestep
     lower_order_nums: jnp.ndarray  # scalar int32
+    prev_output_2: jnp.ndarray     # second-to-last output (m2, 3rd order)
+    prev_timestep_2: jnp.ndarray   # its timestep
 
 
 @flax.struct.dataclass
@@ -294,11 +296,15 @@ class DPMSolverSchedule:
     prediction_type: str = flax.struct.field(
         pytree_node=False, default="epsilon"
     )
+    # 1, 2 or 3 (reference solver_order; 2 recommended for guided sampling,
+    # 3 for unconditional — scheduling_dpmsolver_multistep.py:87-89)
+    solver_order: int = flax.struct.field(pytree_node=False, default=2)
 
     @classmethod
     def create(
         cls, cfg: NoiseScheduleConfig, num_inference_steps: int,
         algorithm_type: str = "dpmsolver++", solver_type: str = "midpoint",
+        solver_order: int = 2,
     ) -> "DPMSolverSchedule":
         ac = _alphas_cumprod(cfg)
         alpha_t = jnp.sqrt(ac)
@@ -313,7 +319,7 @@ class DPMSolverSchedule:
             alpha_t=alpha_t, sigma_t=sigma_t, lambda_t=lambda_t,
             timesteps=jnp.asarray(timesteps, jnp.int32),
             algorithm_type=algorithm_type, solver_type=solver_type,
-            prediction_type=cfg.prediction_type,
+            prediction_type=cfg.prediction_type, solver_order=solver_order,
         )
 
     def init_state(self, sample_shape, dtype=jnp.float32) -> DPMSolverState:
@@ -321,6 +327,8 @@ class DPMSolverSchedule:
             prev_output=jnp.zeros(sample_shape, dtype),
             prev_timestep=jnp.int32(0),
             lower_order_nums=jnp.int32(0),
+            prev_output_2=jnp.zeros(sample_shape, dtype),
+            prev_timestep_2=jnp.int32(0),
         )
 
 
@@ -352,8 +360,11 @@ def dpm_solver_step(
     step_index: jnp.ndarray,
     sample: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, DPMSolverState]:
-    """Second-order multistep DPM-Solver(++) step (:428-494): first-order on
-    the warmup step and (when lower_order_final and S<15) on the final step.
+    """Multistep DPM-Solver(++) step of ``sched.solver_order`` ∈ {1,2,3}
+    (reference :282-494): first-order on the warmup step and (when
+    lower_order_final and S<15) on the final step; third order additionally
+    warms up through second order and caps at second on the penultimate
+    step (reference step() order selection :471-487).
     """
     S = sched.timesteps.shape[0]
     t = sched.timesteps[step_index]
@@ -408,16 +419,59 @@ def dpm_solver_step(
                 - (s_t * ((jnp.exp(h) - 1.0) / h - 1.0)) * D1
             )
 
+    # third order over (m2, m1, m0) — reference
+    # multistep_dpm_solver_third_order_update (:373-427)
+    if sched.solver_order >= 3:
+        s2 = state.prev_timestep_2
+        m2 = state.prev_output_2
+        lam_s2 = sched.lambda_t[s2]
+        h_1 = lam_s1 - lam_s2
+        r1 = h_1 / jnp.where(h == 0, 1e-12, h)
+        D1_0 = D1  # (1/r0)(m0 − m1), computed above
+        D1_1 = (m1 - m2) / jnp.where(r1 == 0, 1e-12, r1)
+        rsum = jnp.where(r0 + r1 == 0, 1e-12, r0 + r1)
+        D1_3 = D1_0 + (r0 / rsum) * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) / rsum
+        hh = jnp.where(h == 0, 1e-12, h)
+        if sched.algorithm_type == "dpmsolver++":
+            x_third = (
+                (s_t / s_s0) * sample
+                - (a_t * (jnp.exp(-h) - 1.0)) * D0
+                + (a_t * ((jnp.exp(-h) - 1.0) / hh + 1.0)) * D1_3
+                - (a_t * ((jnp.exp(-h) - 1.0 + h) / hh ** 2 - 0.5)) * D2
+            )
+        else:
+            x_third = (
+                (a_t / a_s0) * sample
+                - (s_t * (jnp.exp(h) - 1.0)) * D0
+                - (s_t * ((jnp.exp(h) - 1.0) / hh - 1.0)) * D1_3
+                - (s_t * ((jnp.exp(h) - 1.0 - h) / hh ** 2 - 0.5)) * D2
+            )
+    else:
+        x_third = x_second
+
     lower_order_final = jnp.logical_and(
         step_index == S - 1, jnp.bool_(sched.lower_order_final and S < 15)
     )
-    use_first = jnp.logical_or(state.lower_order_nums < 1, lower_order_final)
-    prev_sample = jnp.where(use_first, x_first, x_second)
+    lower_order_second = jnp.logical_and(
+        step_index == S - 2, jnp.bool_(sched.lower_order_final and S < 15)
+    )
+    use_first = jnp.logical_or(
+        jnp.bool_(sched.solver_order == 1),
+        jnp.logical_or(state.lower_order_nums < 1, lower_order_final))
+    use_second = jnp.logical_or(
+        jnp.bool_(sched.solver_order == 2),
+        jnp.logical_or(state.lower_order_nums < 2, lower_order_second))
+    prev_sample = jnp.where(use_first, x_first,
+                            jnp.where(use_second, x_second, x_third))
 
     new_state = DPMSolverState(
         prev_output=m0,
         prev_timestep=t,
-        lower_order_nums=jnp.minimum(state.lower_order_nums + 1, 2),
+        lower_order_nums=jnp.minimum(state.lower_order_nums + 1,
+                                     sched.solver_order),
+        prev_output_2=m1,
+        prev_timestep_2=s1,
     )
     return prev_sample, new_state
 

@@ -170,6 +170,34 @@ def test_dpm_solver_trajectory_parity(pred, algo):
     np.testing.assert_allclose(np.asarray(x), xt.numpy(), rtol=2e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("steps", [12, 20])  # 12 exercises the S<15
+# lower-order final/penultimate caps; 20 runs third order to the end
+@pytest.mark.parametrize("algo", ["dpmsolver++", "dpmsolver"])
+def test_dpm_solver_third_order_parity(algo, steps):
+    """solver_order=3 golden trajectory vs the reference
+    multistep_dpm_solver_third_order_update
+    (scheduling_dpmsolver_multistep.py:373-427 + order selection :471-487)."""
+    ref = DPMSolverMultistepScheduler(
+        **_torch_kwargs("epsilon"), algorithm_type=algo,
+        solver_type="midpoint", solver_order=3,
+    )
+    ref.set_timesteps(steps)
+    x_ref = np.random.RandomState(9).randn(*SHAPE).astype(np.float32)
+    xt = torch.from_numpy(x_ref.copy())
+    for t in ref.timesteps:
+        out = torch.from_numpy(_fake_model(xt.numpy(), float(t)))
+        xt = ref.step(out, t, xt).prev_sample
+
+    sched = DPMSolverSchedule.create(_cfg("epsilon"), steps,
+                                     algorithm_type=algo, solver_order=3)
+    x = jnp.asarray(x_ref)
+    state = sched.init_state(SHAPE)
+    for i in range(steps):
+        out = jnp.asarray(_fake_model(np.asarray(x), float(sched.timesteps[i])))
+        x, state = dpm_solver_step(sched, state, out, i, x)
+    np.testing.assert_allclose(np.asarray(x), xt.numpy(), rtol=2e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("pred", ["epsilon", "v_prediction"])
 def test_lms_trajectory_parity(pred):
     ref = LMSDiscreteScheduler(**_torch_kwargs(pred))
