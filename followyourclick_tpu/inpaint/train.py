@@ -5,9 +5,11 @@ Behavior spec: reference ``lama/saicinpainting/training/trainers/default.py``
 adversarial (NonSaturatingWithR1) + discriminator feature matching;
 discriminator loss = NSGAN with R1 gradient penalty; alternating Adam
 optimizers (the published big-lama config: gen lr 1e-3, discr lr 1e-4,
-l1.weight_known 10, adversarial.weight 10, feature_matching.weight 100).
-The reference's ResNet-PL perceptual term depends on downloaded weights and
-is omitted (losses.py module docstring).
+l1.weight_known 10, adversarial.weight 10, feature_matching.weight 100,
+resnet_pl.weight 30). The ResNet-PL perceptual term
+(``inpaint/perceptual.py``) activates when converted ade20k
+resnet50dilated weights are passed to ``generator_step`` — the weights
+themselves are an external download.
 """
 
 from __future__ import annotations
@@ -39,6 +41,11 @@ class LamaTrainConfig:
     adv_weight: float = 10.0
     fm_weight: float = 100.0
     r1_gp_coef: float = 0.001
+    # ResNet-PL perceptual term (big-lama: resnet_pl.weight 30); active when
+    # resnet_pl_params (converted ade20k resnet50dilated weights) are passed
+    # to generator_step — reference training/losses/perceptual.py:89-115
+    resnet_pl_weight: float = 30.0
+    resnet_pl_layers: tuple = (3, 4, 6, 3)
 
 
 def make_optimizers(cfg: LamaTrainConfig):
@@ -63,8 +70,14 @@ def generator_step(
     discr_vars: Dict[str, Any],
     gen_opt_state,
     batch: Dict[str, jnp.ndarray],
+    resnet_pl_params: Dict[str, Any] | None = None,
 ):
-    """One generator update (trainers/default.py generator_loss path)."""
+    """One generator update (trainers/default.py generator_loss path).
+
+    ``resnet_pl_params``: frozen dilated-ResNet-50 encoder weights
+    (``inpaint.perceptual.convert_ade20k_resnet_state_dict``); when given,
+    the ResNet-PL perceptual term joins the loss as in the reference
+    big-lama config."""
     image, mask = batch["image"], batch["mask"]
     stats = gen_vars.get("batch_stats", {})
 
@@ -83,8 +96,16 @@ def generator_step(
         adv = generator_nsgan_loss(fake_pred)
         fm = feature_matching_loss(fake_feats, real_feats)
         loss = l1 + cfg.adv_weight * adv + cfg.fm_weight * fm
-        return loss, (new_stats, {"l1": l1, "adv": adv, "fm": fm},
-                      inpainted)
+        metrics = {"l1": l1, "adv": adv, "fm": fm}
+        if resnet_pl_params is not None:
+            from followyourclick_tpu.inpaint.perceptual import resnet_pl_loss
+
+            pl = resnet_pl_loss(resnet_pl_params, inpainted, image,
+                                weight=cfg.resnet_pl_weight,
+                                layers=cfg.resnet_pl_layers)
+            loss = loss + pl
+            metrics["resnet_pl"] = pl
+        return loss, (new_stats, metrics, inpainted)
 
     (loss, (new_stats, metrics, inpainted)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
