@@ -195,15 +195,43 @@ def corr_lookup(
     return jnp.concatenate(out, axis=-1)
 
 
+def bilinear_resize(x: jnp.ndarray, H: int, W: int,
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of ``(B, h, w, C)`` with torch ``align_corners``
+    semantics. align_corners=False delegates to ``jax.image.resize``
+    (half-pixel centres, identical to torch); align_corners=True maps output
+    corners onto input corners (scale = (in-1)/(out-1)) via a separable
+    gather — ``jax.image.resize`` has no such mode."""
+    import jax
+
+    if not align_corners:
+        return jax.image.resize(x, x.shape[:1] + (H, W) + x.shape[3:],
+                                method="bilinear")
+    B, h, w, C = x.shape
+
+    def axis_weights(n_in: int, n_out: int):
+        pos = (jnp.linspace(0.0, n_in - 1.0, n_out)
+               if n_out > 1 else jnp.zeros((1,)))
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        frac = (pos - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    y0, y1, wy = axis_weights(h, H)
+    x0, x1, wx = axis_weights(w, W)
+    rows = (x[:, y0] * (1.0 - wy)[None, :, None, None]
+            + x[:, y1] * wy[None, :, None, None])            # (B, H, w, C)
+    out = (rows[:, :, x0] * (1.0 - wx)[None, None, :, None]
+           + rows[:, :, x1] * wx[None, None, :, None])       # (B, H, W, C)
+    return out
+
+
 def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 8x upsampling of a flow field ``(B, h, w, 2)`` with values
     scaled by 8 (reference raft_decoder.py:393-399 mask=None branch,
     align_corners=True)."""
-    import jax
-
     B, h, w, _ = flow.shape
-    out = jax.image.resize(flow, (B, 8 * h, 8 * w, 2), method="bilinear")
-    return 8.0 * out
+    return 8.0 * bilinear_resize(flow, 8 * h, 8 * w, align_corners=True)
 
 
 def convex_upsample(
@@ -241,12 +269,11 @@ def resize_flow(
     flow: jnp.ndarray, shape: Tuple[int, int], align_corners: bool = False
 ) -> jnp.ndarray:
     """Resize a flow map to ``shape=(H, W)``, rescaling the displacement
-    components by the size ratio (mmflow BaseDecoder.get_flow semantics)."""
-    import jax
-
+    components by the size ratio (mmflow BaseDecoder.get_flow semantics;
+    the mmflow decoders commonly pass align_corners=True)."""
     B, h, w, _ = flow.shape
     H, W = shape
-    out = jax.image.resize(flow, (B, H, W, 2), method="bilinear")
+    out = bilinear_resize(flow, H, W, align_corners=align_corners)
     return out * jnp.asarray([W / w, H / h], dtype=flow.dtype)
 
 

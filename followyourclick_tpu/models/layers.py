@@ -118,10 +118,19 @@ class GroupNorm(nn.Module):
         n = 1.0
         for a in axes:
             n *= grouped.shape[a]
-        s1 = grouped.sum(axis=axes, keepdims=True)
-        s2 = (grouped * grouped).sum(axis=axes, keepdims=True)
-        mean = s1 / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        # shifted one-pass: accumulate around a per-group pilot value (one
+        # element per group) so E[x²]−E[x]² doesn't catastrophically cancel
+        # when |mean| ≫ std; shift-invariant algebra keeps the single
+        # traversal and the exact result
+        slicer = tuple(slice(0, 1) if a in axes else slice(None)
+                       for a in range(grouped.ndim))
+        pilot = jax.lax.stop_gradient(grouped[slicer])
+        centered = grouped - pilot
+        s1 = centered.sum(axis=axes, keepdims=True)
+        s2 = (centered * centered).sum(axis=axes, keepdims=True)
+        mean_c = s1 / n
+        var = jnp.maximum(s2 / n - mean_c * mean_c, 0.0)
+        mean = mean_c + pilot
         inv = jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)

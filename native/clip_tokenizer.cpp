@@ -237,8 +237,32 @@ class Tokenizer {
     }
     for (const auto& s : symbols) {
       auto it = vocab_.find(s);
-      // unknown symbols fall back to the per-byte tokens
-      if (it != vocab_.end()) ids->push_back(it->second);
+      if (it != vocab_.end()) {
+        ids->push_back(it->second);
+        continue;
+      }
+      // unknown symbol (possible only with a truncated/malformed merges
+      // file): re-expand into its per-byte tokens instead of dropping it
+      const bool endword =
+          s.size() >= 4 && s.compare(s.size() - 4, 4, "</w>") == 0;
+      const std::string core = endword ? s.substr(0, s.size() - 4) : s;
+      std::vector<std::string> pieces;
+      for (size_t pos = 0; pos < core.size();) {
+        const unsigned char c = static_cast<unsigned char>(core[pos]);
+        size_t len = (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
+        len = std::min(len, core.size() - pos);
+        pieces.push_back(core.substr(pos, len));
+        pos += len;
+      }
+      for (size_t k = 0; k < pieces.size(); ++k) {
+        std::string p = pieces[k];
+        if (endword && k + 1 == pieces.size()) p += "</w>";
+        auto pit = vocab_.find(p);
+        if (pit == vocab_.end() && endword && k + 1 == pieces.size()) {
+          pit = vocab_.find(pieces[k]);  // vocab missing byte</w> variant
+        }
+        if (pit != vocab_.end()) ids->push_back(pit->second);
+      }
     }
   }
 

@@ -120,19 +120,24 @@ class Loader {
       Request req;
       {
         std::unique_lock<std::mutex> lk(mu_);
+        // count in-flight decodes toward capacity: a slot is reserved here
+        // (under the lock) and released when the result lands in done_, so
+        // done_ + in-progress never exceeds capacity_ even with N workers
         work_cv_.wait(lk, [this] {
           return stop_ ||
                  (!pending_.empty() &&
-                  done_.size() < static_cast<size_t>(capacity_));
+                  done_.size() + decoding_ < static_cast<size_t>(capacity_));
         });
         if (stop_) return;
         req = std::move(pending_.front());
         pending_.pop_front();
+        ++decoding_;
       }
       auto res = Process(req);
       {
         std::lock_guard<std::mutex> lk(mu_);
         done_.push_back(std::move(res));
+        --decoding_;
       }
       done_cv_.notify_one();
     }
@@ -199,6 +204,7 @@ class Loader {
   std::condition_variable done_cv_;
   std::deque<Request> pending_;
   std::deque<std::unique_ptr<Result>> done_;
+  size_t decoding_ = 0;  // decodes started but not yet in done_
   int inflight_ = 0;
   bool stop_ = false;
   std::vector<std::thread> workers_;
