@@ -239,3 +239,36 @@ class LiteFlowNet(nn.Module):
                                    "bilinear")
             return out * cfg.flow_div
         return {f"level{k}": v for k, v in flow_pred.items()}
+
+
+def liteflownet_stage_load(params, src_level: int, dst_level: int):
+    """Progressive stage training: initialize the newly-added pyramid level's
+    decoder blocks from the previous stage's trained level (reference
+    ``mmflow/core/hooks/liteflownet_stage_loading.py:8`` — a before-run hook
+    calling non-strict ``load_state_dict`` between decoder sublevels).
+
+    Pure-function JAX analogue: returns a new params tree with every
+    ``*_level{src}`` subtree copied onto ``*_level{dst}`` leaf-by-leaf where
+    shapes match (mismatched leaves keep their init, like the non-strict
+    torch load)."""
+    import jax as _jax
+
+    out = _jax.tree_util.tree_map(lambda x: x, params)
+    suffix_src = f"level{src_level}"
+    suffix_dst = f"level{dst_level}"
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k in dst and isinstance(dst[k], dict):
+                    overlay(dst[k], v)
+            elif k in dst and getattr(dst[k], "shape", None) == getattr(
+                    v, "shape", None):
+                dst[k] = v
+
+    for name in list(out):
+        if name.endswith(suffix_src):
+            dst_name = name[: -len(suffix_src)] + suffix_dst
+            if dst_name in out:
+                overlay(out[dst_name], out[name])
+    return out

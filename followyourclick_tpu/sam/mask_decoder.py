@@ -174,6 +174,8 @@ class MaskDecoder(nn.Module):
         sparse_prompt_embeddings: jnp.ndarray,  # (B, N, C)
         dense_prompt_embeddings: jnp.ndarray,   # (B, H, W, C)
         multimask_output: bool = True,
+        return_all_tokens: bool = False,  # predict_masks semantics (all
+        # num_mask_tokens outputs, used by the export path / onnx.py:119-125)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         num_mask_tokens = self.num_multimask_outputs + 1
         iou_token = self.param(
@@ -245,6 +247,8 @@ class MaskDecoder(nn.Module):
             name="iou_prediction_head",
         )(iou_token_out)
 
+        if return_all_tokens:
+            return masks, iou_pred
         if multimask_output:
             return masks[:, 1:], iou_pred[:, 1:]
         return masks[:, :1], iou_pred[:, :1]
