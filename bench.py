@@ -29,8 +29,15 @@ import numpy as np
 A100_BASELINE_FPS = 1.07  # estimated reference throughput (see docstring)
 
 
-def _zeros_like_tree(tree):
-    return jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), tree)
+def _zeros_like_tree(tree, dtype=None):
+    """Shape-true zero params; float leaves cast to ``dtype`` (the serving
+    path stores half-precision weights — see utils/precision.py)."""
+    def mk(x):
+        d = x.dtype
+        if dtype is not None and jnp.issubdtype(d, jnp.floating):
+            d = dtype
+        return jnp.zeros(x.shape, d)
+    return jax.tree_util.tree_map(mk, tree)
 
 
 def build_pipeline(dtype):
@@ -59,6 +66,8 @@ def build_pipeline(dtype):
         "text_encoder": _zeros_like_tree(jax.eval_shape(
             pipe.text_encoder.init, rng, ids))["params"],
     }
+    if dtype != jnp.float32:
+        pipe.params = _zeros_like_tree(pipe.params, dtype=dtype)
     return pipe
 
 

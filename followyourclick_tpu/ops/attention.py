@@ -111,12 +111,28 @@ def dot_product_attention(
         use_flash = bias is None
     elif impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
+        b, sq, h, d = query.shape
+        sk = key.shape[1]
+        # Tiny-seq temporal attention with a huge folded batch (the motion
+        # module at 64²: b=8192, s=16, d=40): the per-head layout makes XLA
+        # materialize fp32 logits [b,h,s,s] whose 16-wide minor dim pads to
+        # 128 lanes — an 8× memory blowup — plus layout copies after every
+        # projection. The fused Pallas kernel runs the (s·h)-packed layout
+        # (a FREE reshape of the projection output) entirely in VMEM:
+        # measured v5e 2.6 ms vs 5.0 ms isolated, and it removes the
+        # in-module layout copies on top (MotionModule 64² 30.8→22.4 ms
+        # already with packed-XLA; the kernel goes further).
+        if on_tpu and bias is None and sq == sk and sq <= 32 \
+                and sq * h <= 256:
+            from followyourclick_tpu.ops.temporal_attention import (
+                temporal_attention,
+            )
+
+            return temporal_attention(query, key, value, scale=scale)
         # Measured on v5e (16f 512px pipeline): XLA's materialized-scores
         # attention beats the flash kernel while the score tensor fits
         # comfortably in HBM; flash takes over when scores would blow the
         # memory budget (batched serving, long seq).
-        b, sq, h, _ = query.shape
-        sk = key.shape[1]
         score_bytes = b * h * sq * sk * 2  # bf16
         use_flash = (on_tpu and bias is None and sk >= 1024
                      and score_bytes > 4 * 1024 ** 3)

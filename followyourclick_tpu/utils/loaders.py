@@ -253,6 +253,16 @@ def assemble_pipeline_from_pretrained(
     except Exception:
         pass
 
+    if dtype != jnp.float32:
+        # reference parity: inference runs on half-precision weights
+        # (fp16 checkpoints in scripts/inference.py); fp32 masters would
+        # double the weight-read bandwidth of every step on TPU
+        from followyourclick_tpu.utils.precision import cast_floating
+
+        unet_params, vae_params, text_params, ip_adapter_params, t5_params = (
+            cast_floating((unet_params, vae_params, text_params,
+                           ip_adapter_params, t5_params), dtype))
+
     return AnimationPipeline(
         inference_config, unet_params, vae_params, text_params,
         tokenizer=tokenizer, dtype=dtype,
