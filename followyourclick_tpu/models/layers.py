@@ -105,44 +105,52 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
-        c = x.shape[-1]
-        assert c % self.num_groups == 0, (c, self.num_groups)
+        b, c = x.shape[0], x.shape[-1]
+        g = self.num_groups
+        cg = c // g
+        assert c % g == 0, (c, g)
         xf = x.astype(jnp.float32)
-        shape = x.shape[:-1] + (self.num_groups, c // self.num_groups)
-        grouped = xf.reshape(shape)
-        # reduce over every non-batch, non-group axis; one-pass moments
-        # (sum + sum-of-squares fuse into a single traversal — `.var()`
-        # centres first and costs an extra full read of the activation,
-        # measurable at clip-sized GroupNorms)
-        axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
-        n = 1.0
-        for a in axes:
-            n *= grouped.shape[a]
-        # shifted one-pass: accumulate around a per-group pilot value (one
-        # element per group) so E[x²]−E[x]² doesn't catastrophically cancel
-        # when |mean| ≫ std; shift-invariant algebra keeps the single
-        # traversal and the exact result
-        slicer = tuple(slice(0, 1) if a in axes else slice(None)
-                       for a in range(grouped.ndim))
-        pilot = jax.lax.stop_gradient(grouped[slicer])
-        centered = grouped - pilot
-        s1 = centered.sum(axis=axes, keepdims=True)
-        s2 = (centered * centered).sum(axis=axes, keepdims=True)
-        mean_c = s1 / n
-        var = jnp.maximum(s2 / n - mean_c * mean_c, 0.0)
-        mean = mean_c + pilot
-        inv = jax.lax.rsqrt(var + self.epsilon)
+        # Reduce per CHANNEL first, combine per group on the tiny (B, C)
+        # result. Never reshape the activation itself to (..., G, C/G):
+        # on TPU that materializes a fp32 tensor whose C/G-wide minor dim
+        # (e.g. 40) pads to 128 lanes — a 3.2× memory blowup — and its 6-D
+        # layout poisons layout assignment around every GroupNorm (measured
+        # v5e: multi-ms relayout copies per GN at clip sizes).
+        red_axes = tuple(range(1, x.ndim - 1))
+        n = cg
+        for a in red_axes:
+            n *= x.shape[a]
+        # shifted moments: accumulate around a per-group pilot value so
+        # E[x²]−E[x]² doesn't catastrophically cancel when |mean| ≫ std;
+        # shift-invariance keeps the result exact. The pilot is the first
+        # element of each group, broadcast per channel (a (B, C) constant,
+        # so the shift fuses into the reduction pass).
+        first = jax.lax.stop_gradient(
+            xf[(slice(None),) + (0,) * (x.ndim - 2)])        # (B, C)
+        pilot_g = first.reshape(b, g, cg)[:, :, :1]           # (B, G, 1)
+        pilot_c = jnp.broadcast_to(pilot_g, (b, g, cg)).reshape(b, c)
+        pilot_full = pilot_c.reshape((b,) + (1,) * (x.ndim - 2) + (c,))
+        shifted = xf - pilot_full
+        s1 = shifted.sum(axis=red_axes)                       # (B, C)
+        s2 = (shifted * shifted).sum(axis=red_axes)           # (B, C)
+        s1g = s1.reshape(b, g, cg).sum(-1, keepdims=True)     # (B, G, 1)
+        s2g = s2.reshape(b, g, cg).sum(-1, keepdims=True)
+        mean_c = s1g / n
+        var = jnp.maximum(s2g / n - mean_c * mean_c, 0.0)
+        mean = mean_c + pilot_g
+        inv = jax.lax.rsqrt(var + self.epsilon)               # (B, G, 1)
+        # fold affine into the normalization: y = x * a + b with per-channel
+        # a = inv*scale, b = bias - mean*inv*scale — applied on the flat
+        # NHWC tensor (one fused multiply-add, no grouped reshape)
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            scale_g = scale.reshape(self.num_groups, c // self.num_groups)
-            bias_g = bias.reshape(self.num_groups, c // self.num_groups)
-            # fold affine into the normalization: y = x * a + b with
-            # a = inv*scale, b = bias - mean*inv*scale (one multiply-add
-            # per element instead of two)
-            a = inv * scale_g
-            b = bias_g - mean * a
-            normed = grouped * a + b
+            a = (inv * scale.reshape(1, g, cg)).reshape(b, c)
+            bb = (bias.reshape(1, g, cg)
+                  - mean * inv * scale.reshape(1, g, cg)).reshape(b, c)
         else:
-            normed = (grouped - mean) * inv
-        return normed.reshape(x.shape).astype(orig_dtype)
+            a = jnp.broadcast_to(inv, (b, g, cg)).reshape(b, c)
+            bb = jnp.broadcast_to(-mean * inv, (b, g, cg)).reshape(b, c)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        normed = xf * a.reshape(bshape) + bb.reshape(bshape)
+        return normed.astype(orig_dtype)

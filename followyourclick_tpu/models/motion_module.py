@@ -66,18 +66,19 @@ class TemporalAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        hidden_states: jnp.ndarray,  # (B·F, D, C)
+        hidden_states: jnp.ndarray,  # (B·D, F, C) — frames-minor layout
         video_length: int,
         context: Optional[jnp.ndarray] = None,  # (B, Sk, Ck) for _Cross blocks
         lora_scale: float = 1.0,
     ) -> jnp.ndarray:
-        bf, d, c = hidden_states.shape
-        b = bf // video_length
+        # The caller (MotionModule) transposes to the frames-minor layout
+        # ONCE for the whole block stack — LN/FF are position-independent, so
+        # only the attention needs frames adjacent; per-call transposes were
+        # ~0.6 ms of HBM relayout each at 64² clip sizes.
+        bd, f, c = hidden_states.shape
+        assert f == video_length, (f, video_length)
         inner_dim = self.heads * self.dim_head
-
-        # (B·F, D, C) -> (B·D, F, C): attention along frames per pixel
-        x = hidden_states.reshape(b, video_length, d, c)
-        x = x.transpose(0, 2, 1, 3).reshape(b * d, video_length, c)
+        x = hidden_states
 
         if self.temporal_position_encoding and not self.use_rope:
             pe = temporal_positional_encoding(
@@ -85,6 +86,7 @@ class TemporalAttention(nn.Module):
             x = x + pe[:, :video_length].astype(x.dtype)
 
         if context is not None:
+            d = bd // context.shape[0]
             ctx = jnp.repeat(context, d, axis=0)
         else:
             ctx = x
@@ -123,17 +125,14 @@ class TemporalAttention(nn.Module):
         if self.upcast_attention:
             q, k = q.astype(jnp.float32), k.astype(jnp.float32)
         out = dot_product_attention(q, k, v)
-        out = out.reshape(b * d, video_length, inner_dim).astype(x.dtype)
+        out = out.reshape(bd, video_length, inner_dim).astype(x.dtype)
 
         o = proj("to_out", self.query_dim, use_bias=True)(out)
         if self.add_temporal_lora:
             o = o + lora_scale * LoRADense(self.query_dim, self.lora_rank,
                                            dtype=self.dtype,
                                            name="to_out_lora")(out)
-
-        # back to (B·F, D, C)
-        o = o.reshape(b, d, video_length, self.query_dim)
-        return o.transpose(0, 2, 1, 3).reshape(bf, d, self.query_dim)
+        return o
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -205,6 +204,13 @@ class MotionModule(nn.Module):
         x = x.reshape(b * f, hh * ww, c)
         x = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(x)
 
+        # ONE transpose to the frames-minor layout (B·HW, F, C) for the whole
+        # block stack — attention mixes along frames; LN/FF/projections are
+        # position-independent so they run in either layout. Per-attention
+        # transposes cost ~0.6 ms of HBM relayout each at 64² clip sizes.
+        x = x.reshape(b, f, hh * ww, inner_dim).transpose(0, 2, 1, 3)
+        x = x.reshape(b * hh * ww, f, inner_dim)
+
         for i in range(cfg.num_transformer_block):
             x = TemporalTransformerBlock(
                 dim=inner_dim,
@@ -229,5 +235,7 @@ class MotionModule(nn.Module):
             bias_init=nn.initializers.zeros,
             name="proj_out")
         x = proj_out(x)
+        # back from frames-minor to (B·F, H, W, C)
+        x = x.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3)
         x = x.reshape(b * f, hh, ww, c) + residual
         return x.reshape(b, f, hh, ww, c)

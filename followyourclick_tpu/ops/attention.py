@@ -129,13 +129,16 @@ def dot_product_attention(
             )
 
             return temporal_attention(query, key, value, scale=scale)
-        # Measured on v5e (16f 512px pipeline): XLA's materialized-scores
-        # attention beats the flash kernel while the score tensor fits
-        # comfortably in HBM; flash takes over when scores would blow the
-        # memory budget (batched serving, long seq).
+        # Measured on v5e (unet fwd, 16f 512px): XLA's row-fused attention
+        # beats the flash kernel even at the 64² hot shape (b·h=256,
+        # s=4096, d=40) — 425.8 vs 462.9 ms/step whole-UNet — because XLA
+        # never materializes the full score tensor and skips flash's
+        # explicit d→128 pads and (b,s,h,d)→(b·h,s,d) transposes. Flash
+        # takes over only when the score working set approaches HBM
+        # capacity (long-seq / batched serving shapes).
         score_bytes = b * h * sq * sk * 2  # bf16
         use_flash = (on_tpu and bias is None and sk >= 1024
-                     and score_bytes > 4 * 1024 ** 3)
+                     and score_bytes > 12 * 1024 ** 3)
     if use_flash:
         from followyourclick_tpu.ops.flash_attention import flash_attention
 
