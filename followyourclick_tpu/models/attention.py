@@ -23,6 +23,28 @@ from followyourclick_tpu.models.layers import GroupNorm
 from followyourclick_tpu.ops.attention import dot_product_attention
 
 
+class Conv1x1(nn.Module):
+    """A 1×1 conv applied as a plain dot over (..., C) tokens.
+
+    Param tree/shape identical to ``nn.Conv(features, (1, 1))`` —
+    ``kernel (1, 1, C, F)`` + ``bias (F,)`` — so checkpoint converters are
+    unaffected; but XLA sees one dense chain instead of a conv sandwiched
+    between reshapes (fewer layout pivots around the transformer block)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return (jnp.dot(x, kernel[0, 0].astype(self.dtype))
+                + bias.astype(self.dtype))
+
+
 class CrossAttention(nn.Module):
     """q/k/v projection + multi-head attention + out projection.
 
@@ -267,9 +289,8 @@ class SpatialTransformer3D(nn.Module):
             x = x.reshape(b * f, hh * ww, c)
             x = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(x)
         else:
-            x = nn.Conv(inner_dim, (1, 1), dtype=self.dtype,
-                        name="proj_in")(x)
-            x = x.reshape(b * f, hh * ww, inner_dim)
+            x = x.reshape(b * f, hh * ww, c)
+            x = Conv1x1(inner_dim, dtype=self.dtype, name="proj_in")(x)
 
         # broadcast per-clip context across frames
         def tile_ctx(ctx):
@@ -300,8 +321,8 @@ class SpatialTransformer3D(nn.Module):
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
             x = x.reshape(b * f, hh, ww, c)
         else:
-            x = x.reshape(b * f, hh, ww, inner_dim)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = Conv1x1(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b * f, hh, ww, c)
 
         out = x + residual
         return out.reshape(b, f, hh, ww, c)
