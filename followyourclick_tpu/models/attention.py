@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from followyourclick_tpu.models.layers import GroupNorm
+from followyourclick_tpu.models.pab import PabMode, pab_site
 from followyourclick_tpu.ops.attention import dot_product_attention
 
 
@@ -169,6 +170,7 @@ class BasicTransformerBlock(nn.Module):
     use_text_encoder_2: bool = False
     unet_use_cross_frame_attention: bool = False
     unet_use_temporal_attention: bool = False
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -182,37 +184,46 @@ class BasicTransformerBlock(nn.Module):
         h = hidden_states
 
         # 1. spatial self-attention (optionally cross-frame)
-        normed = _layer_norm("norm1", self.dtype)(h)
-        attn1 = CrossAttention(
-            query_dim=self.dim, heads=self.num_attention_heads,
-            dim_head=self.attention_head_dim,
-            upcast_attention=self.upcast_attention, dtype=self.dtype,
-            name="attn1")
-        if self.unet_use_cross_frame_attention:
-            assert video_length is not None
-            bf, s, c = normed.shape
-            b = bf // video_length
-            frames = normed.reshape(b, video_length, s, c)
-            # keys/values from [frame 0, previous frame] per query frame
-            former = jnp.roll(frames, 1, axis=1).at[:, 0].set(frames[:, 0])
-            first = jnp.broadcast_to(frames[:, :1], frames.shape)
-            kv = jnp.concatenate([first, former], axis=2).reshape(bf, 2 * s, c)
-            h = attn1(normed, context=kv) + h
-        else:
-            h = attn1(normed) + h
+        def _attn1(h):
+            normed = _layer_norm("norm1", self.dtype)(h)
+            attn1 = CrossAttention(
+                query_dim=self.dim, heads=self.num_attention_heads,
+                dim_head=self.attention_head_dim,
+                upcast_attention=self.upcast_attention, dtype=self.dtype,
+                name="attn1")
+            if self.unet_use_cross_frame_attention:
+                assert video_length is not None
+                bf, s, c = normed.shape
+                b = bf // video_length
+                frames = normed.reshape(b, video_length, s, c)
+                # keys/values from [frame 0, previous frame] per query frame
+                former = jnp.roll(frames, 1, axis=1).at[:, 0].set(
+                    frames[:, 0])
+                first = jnp.broadcast_to(frames[:, :1], frames.shape)
+                kv = jnp.concatenate([first, former], axis=2).reshape(
+                    bf, 2 * s, c)
+                return attn1(normed, context=kv)
+            return attn1(normed)
+
+        h = pab_site(self, "spatial", "attn1_out", self.pab,
+                     lambda: _attn1(h)) + h
 
         # 2. text (+ip) cross-attention
         if self.cross_attention_dim is not None:
-            normed = _layer_norm("norm2", self.dtype)(h)
-            h = CrossAttention(
-                query_dim=self.dim, heads=self.num_attention_heads,
-                dim_head=self.attention_head_dim,
-                cross_attention_dim=self.cross_attention_dim,
-                upcast_attention=self.upcast_attention,
-                ip_num_tokens=(self.ip_num_tokens
-                               if self.use_ip_cross_attention else 0),
-                ip_scale=self.ip_scale, dtype=self.dtype,
-                name="attn2")(normed, context=context) + h
+            def _attn2(h):
+                normed = _layer_norm("norm2", self.dtype)(h)
+                return CrossAttention(
+                    query_dim=self.dim, heads=self.num_attention_heads,
+                    dim_head=self.attention_head_dim,
+                    cross_attention_dim=self.cross_attention_dim,
+                    upcast_attention=self.upcast_attention,
+                    ip_num_tokens=(self.ip_num_tokens
+                                   if self.use_ip_cross_attention else 0),
+                    ip_scale=self.ip_scale, dtype=self.dtype,
+                    name="attn2")(normed, context=context)
+
+            h = pab_site(self, "cross", "attn2_out", self.pab,
+                         lambda: _attn2(h)) + h
 
         # 3. optional second (T5) text cross-attention, zero-init out proj.
         # Skipped when no T5 context is supplied (the reference gates this on
@@ -221,13 +232,17 @@ class BasicTransformerBlock(nn.Module):
         # to context=None would silently self-attend instead.
         if (self.use_text_encoder_2 and self.cross_attention_dim is not None
                 and context_2 is not None):
-            normed = _layer_norm("norm_t5", self.dtype)(h)
-            h = CrossAttention(
-                query_dim=self.dim, heads=self.num_attention_heads,
-                dim_head=self.attention_head_dim,
-                cross_attention_dim=self.cross_attention_dim,
-                upcast_attention=self.upcast_attention, dtype=self.dtype,
-                name="attn_t5")(normed, context=context_2) + h
+            def _attn_t5(h):
+                normed = _layer_norm("norm_t5", self.dtype)(h)
+                return CrossAttention(
+                    query_dim=self.dim, heads=self.num_attention_heads,
+                    dim_head=self.attention_head_dim,
+                    cross_attention_dim=self.cross_attention_dim,
+                    upcast_attention=self.upcast_attention, dtype=self.dtype,
+                    name="attn_t5")(normed, context=context_2)
+
+            h = pab_site(self, "cross", "attn_t5_out", self.pab,
+                         lambda: _attn_t5(h)) + h
 
         # 4. optional in-block temporal attention (unet_use_temporal_attention)
         if self.unet_use_temporal_attention:
@@ -236,11 +251,16 @@ class BasicTransformerBlock(nn.Module):
             b = bf // video_length
             t = h.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
             t = t.reshape(b * s, video_length, c)
-            normed = _layer_norm("norm_temp", self.dtype)(t)
-            t = CrossAttention(
-                query_dim=self.dim, heads=self.num_attention_heads,
-                dim_head=self.attention_head_dim, dtype=self.dtype,
-                name="attn_temp")(normed) + t
+
+            def _attn_temp(t):
+                normed = _layer_norm("norm_temp", self.dtype)(t)
+                return CrossAttention(
+                    query_dim=self.dim, heads=self.num_attention_heads,
+                    dim_head=self.attention_head_dim, dtype=self.dtype,
+                    name="attn_temp")(normed)
+
+            t = pab_site(self, "temporal", "attn_temp_out", self.pab,
+                         lambda: _attn_temp(t)) + t
             h = t.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
             h = h.reshape(bf, s, c)
 
@@ -269,6 +289,7 @@ class SpatialTransformer3D(nn.Module):
     use_text_encoder_2: bool = False
     unet_use_cross_frame_attention: bool = False
     unet_use_temporal_attention: bool = False
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -313,6 +334,7 @@ class SpatialTransformer3D(nn.Module):
                 use_text_encoder_2=self.use_text_encoder_2,
                 unet_use_cross_frame_attention=self.unet_use_cross_frame_attention,
                 unet_use_temporal_attention=self.unet_use_temporal_attention,
+                pab=self.pab,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(x, context=ctx, context_2=ctx2, video_length=f)

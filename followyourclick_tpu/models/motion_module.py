@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from followyourclick_tpu.config import MotionModuleConfig
 from followyourclick_tpu.models.attention import GEGLUFeedForward, _layer_norm
 from followyourclick_tpu.models.layers import GroupNorm, temporal_positional_encoding
+from followyourclick_tpu.models.pab import PabMode, pab_site
 from followyourclick_tpu.models.rope import apply_rope, rope_tables
 from followyourclick_tpu.ops.attention import dot_product_attention
 
@@ -150,6 +151,7 @@ class TemporalTransformerBlock(nn.Module):
     train_video_length: int = 16
     add_temporal_lora: bool = False
     lora_rank: int = 4
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -158,23 +160,30 @@ class TemporalTransformerBlock(nn.Module):
         h = hidden_states
         for i, block_type in enumerate(self.attention_block_types):
             is_cross = block_type.endswith("_Cross")
-            normed = _layer_norm(f"norms_{i}", self.dtype)(h)
-            h = TemporalAttention(
-                query_dim=self.dim,
-                heads=self.num_attention_heads,
-                dim_head=self.attention_head_dim,
-                cross_attention_dim=self.cross_attention_dim if is_cross else None,
-                temporal_position_encoding=self.temporal_position_encoding,
-                temporal_position_encoding_max_len=(
-                    self.temporal_position_encoding_max_len),
-                use_rope=self.use_rope,
-                train_video_length=self.train_video_length,
-                add_temporal_lora=self.add_temporal_lora,
-                lora_rank=self.lora_rank,
-                dtype=self.dtype,
-                name=f"attention_blocks_{i}",
-            )(h if False else normed, video_length=video_length,
-              context=context if is_cross else None) + h
+
+            def _attn(h, i=i, is_cross=is_cross):
+                normed = _layer_norm(f"norms_{i}", self.dtype)(h)
+                return TemporalAttention(
+                    query_dim=self.dim,
+                    heads=self.num_attention_heads,
+                    dim_head=self.attention_head_dim,
+                    cross_attention_dim=(self.cross_attention_dim
+                                         if is_cross else None),
+                    temporal_position_encoding=(
+                        self.temporal_position_encoding),
+                    temporal_position_encoding_max_len=(
+                        self.temporal_position_encoding_max_len),
+                    use_rope=self.use_rope,
+                    train_video_length=self.train_video_length,
+                    add_temporal_lora=self.add_temporal_lora,
+                    lora_rank=self.lora_rank,
+                    dtype=self.dtype,
+                    name=f"attention_blocks_{i}",
+                )(normed, video_length=video_length,
+                  context=context if is_cross else None)
+
+            h = pab_site(self, "temporal", f"attn_{i}_out", self.pab,
+                         lambda: _attn(h)) + h
         normed = _layer_norm("ff_norm", self.dtype)(h)
         h = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(normed) + h
         return h
@@ -187,6 +196,7 @@ class MotionModule(nn.Module):
 
     in_channels: int
     config: MotionModuleConfig
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -224,6 +234,7 @@ class MotionModule(nn.Module):
                 train_video_length=cfg.train_video_length,
                 add_temporal_lora=cfg.add_temporal_lora,
                 lora_rank=cfg.lora_rank,
+                pab=self.pab,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(x, video_length=f, context=context)

@@ -1,0 +1,76 @@
+"""Pyramid-Attention-Broadcast-style attention-output reuse.
+
+OPT-IN serving approximation (NOT reference behavior; same family as
+Pyramid Attention Broadcast, arXiv 2408.12588): attention sublayer outputs
+drift slowly across adjacent diffusion timesteps, so on most steps the
+previous step's output can be broadcast (reused) instead of recomputed.
+Each attention *kind* gets its own refresh interval — cross-attention drifts
+slowest, temporal next, spatial fastest.
+
+Mechanics: every attention sublayer is wrapped in :func:`pab_site`.  A
+``PabMode`` with all flags off (or ``pab=None`` on the module) is the exact
+path.  On "record" steps the sublayer output is written into the ``"pab"``
+flax variable collection; on "reuse" steps the collection value is returned
+and the whole sublayer (pre-LN → q/k/v → attention → out-proj) is skipped.
+The sampler threads the collection through the denoise loop as a scan carry
+(`pipelines/animation.py`), choosing a statically-known ``PabMode`` per step
+position so XLA compiles real skips — no dynamic control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PabMode:
+    """Static per-step attention reuse/record flags.
+
+    ``reuse_*``: return the cached sublayer output instead of computing.
+    ``record_*``: write freshly computed outputs into the ``"pab"``
+    collection (kept on for every kind that is ever reused so the cache
+    tree — a scan carry — has a step-independent structure).
+    """
+
+    reuse_spatial: bool = False
+    reuse_cross: bool = False
+    reuse_temporal: bool = False
+    record_spatial: bool = False
+    record_cross: bool = False
+    record_temporal: bool = False
+
+    def reuse(self, kind: str) -> bool:
+        return getattr(self, f"reuse_{kind}")
+
+    def record(self, kind: str) -> bool:
+        return getattr(self, f"record_{kind}")
+
+
+def pab_site(
+    mdl: nn.Module,
+    kind: str,  # "spatial" | "cross" | "temporal"
+    name: str,
+    pab: Optional[PabMode],
+    compute: Callable[[], jnp.ndarray],
+) -> jnp.ndarray:
+    """One attention sublayer: compute-and-record, or reuse the cache.
+
+    The cached value is the full sublayer output (post out-projection,
+    pre-residual), so a reuse step skips the LN and every projection too.
+    """
+    if pab is None:
+        return compute()
+    if pab.reuse(kind) and mdl.has_variable("pab", name):
+        out = mdl.get_variable("pab", name)
+    else:
+        out = compute()
+    if pab.record(kind):
+        # written even on reuse steps so every step variant returns the same
+        # "pab" collection tree (the sampler threads it as a scan carry)
+        var = mdl.variable("pab", name, lambda: out)
+        var.value = out
+    return out

@@ -30,6 +30,7 @@ from followyourclick_tpu.models.layers import (
     TimestepEmbedding,
     sinusoidal_timestep_embedding,
 )
+from followyourclick_tpu.models.pab import PabMode
 from followyourclick_tpu.models.resnet import InflatedConv, PseudoConv3d
 from followyourclick_tpu.models.unet_blocks import (
     CrossAttnDownBlock3D,
@@ -65,6 +66,9 @@ class UNet3DConditionModel(nn.Module):
     (first-frame concat) or 9 (mask + first-frame concat, done by pipeline)."""
 
     config: UNet3DConfig
+    # OPT-IN serving approximation: PAB-style attention reuse flags for this
+    # step variant (models/pab.py); None = exact path, zero overhead.
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,7 +167,7 @@ class UNet3DConditionModel(nn.Module):
                 config=cfg, in_channels=in_ch, out_channels=out_ch,
                 num_layers=cfg.layers_per_block, add_downsample=not is_final,
                 use_motion=use_motion(i) and not cfg.motion_module_decoder_only,
-                dtype=self.dtype, name=f"down_blocks_{i}")
+                pab=self.pab, dtype=self.dtype, name=f"down_blocks_{i}")
             if block_type == "CrossAttnDownBlock3D":
                 sample, res = CrossAttnDownBlock3D(**common)(
                     sample, emb, context, context_2, emb_frame0)
@@ -178,7 +182,7 @@ class UNet3DConditionModel(nn.Module):
             sample = UNetMidBlock3DCrossAttn(
                 config=cfg, in_channels=cfg.block_out_channels[-1],
                 use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
-                dtype=self.dtype, name="mid_block")(
+                pab=self.pab, dtype=self.dtype, name="mid_block")(
                 sample, emb, context, context_2, emb_frame0)
         else:
             raise ValueError(cfg.mid_block_type)
@@ -198,7 +202,7 @@ class UNet3DConditionModel(nn.Module):
                 config=cfg, in_channels=in_ch, prev_output_channel=prev_ch,
                 out_channels=out_ch, num_layers=n_layers,
                 add_upsample=not is_final, use_motion=use_motion(level),
-                dtype=self.dtype, name=f"up_blocks_{i}")
+                pab=self.pab, dtype=self.dtype, name=f"up_blocks_{i}")
             if block_type == "CrossAttnUpBlock3D":
                 sample = CrossAttnUpBlock3D(**common)(
                     sample, res, emb, context, context_2, emb_frame0)

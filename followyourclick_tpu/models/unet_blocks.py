@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from followyourclick_tpu.config import MotionModuleConfig, UNet3DConfig
 from followyourclick_tpu.models.attention import SpatialTransformer3D
 from followyourclick_tpu.models.motion_module import MotionModule
+from followyourclick_tpu.models.pab import PabMode
 from followyourclick_tpu.models.resnet import (
     Downsample3D,
     ResnetBlock3D,
@@ -28,7 +29,7 @@ from followyourclick_tpu.models.resnet import (
 
 
 def _spatial_transformer(cfg: UNet3DConfig, out_channels: int, name: str,
-                         dtype) -> SpatialTransformer3D:
+                         dtype, pab=None) -> SpatialTransformer3D:
     num_heads = cfg.attention_head_dim  # diffusers-SD1.5: this is head COUNT
     return SpatialTransformer3D(
         in_channels=out_channels,
@@ -45,6 +46,7 @@ def _spatial_transformer(cfg: UNet3DConfig, out_channels: int, name: str,
         use_text_encoder_2=cfg.use_text_encoder_2,
         unet_use_cross_frame_attention=cfg.unet_use_cross_frame_attention,
         unet_use_temporal_attention=cfg.unet_use_temporal_attention,
+        pab=pab,
         dtype=dtype,
         name=name,
     )
@@ -67,9 +69,9 @@ def _resnet(cfg: UNet3DConfig, in_ch: int, out_ch: int, name: str,
 
 
 def _motion(cfg: UNet3DConfig, channels: int, name: str,
-            dtype) -> Optional[MotionModule]:
+            dtype, pab=None) -> Optional[MotionModule]:
     return MotionModule(in_channels=channels, config=cfg.motion_module,
-                        dtype=dtype, name=name)
+                        pab=pab, dtype=dtype, name=name)
 
 
 class CrossAttnDownBlock3D(nn.Module):
@@ -79,6 +81,7 @@ class CrossAttnDownBlock3D(nn.Module):
     num_layers: int = 2
     add_downsample: bool = True
     use_motion: bool = True
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,12 +95,12 @@ class CrossAttnDownBlock3D(nn.Module):
                                     f"resnets_{i}", self.dtype)(
                 hidden_states, temb, temb_frame0)
             hidden_states = _spatial_transformer(
-                cfg, self.out_channels, f"attentions_{i}", self.dtype)(
-                hidden_states, context, context_2)
+                cfg, self.out_channels, f"attentions_{i}", self.dtype,
+                self.pab)(hidden_states, context, context_2)
             if self.use_motion:
                 hidden_states = _motion(cfg, self.out_channels,
-                                        f"motion_modules_{i}", self.dtype)(
-                    hidden_states)
+                                        f"motion_modules_{i}", self.dtype,
+                                        self.pab)(hidden_states)
             output_states.append(hidden_states)
         if self.add_downsample:
             hidden_states = Downsample3D(
@@ -114,6 +117,7 @@ class DownBlock3D(nn.Module):
     num_layers: int = 2
     add_downsample: bool = True
     use_motion: bool = True
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,8 +131,8 @@ class DownBlock3D(nn.Module):
                 hidden_states, temb, temb_frame0)
             if self.use_motion:
                 hidden_states = _motion(cfg, self.out_channels,
-                                        f"motion_modules_{i}", self.dtype)(
-                    hidden_states)
+                                        f"motion_modules_{i}", self.dtype,
+                                        self.pab)(hidden_states)
             output_states.append(hidden_states)
         if self.add_downsample:
             hidden_states = Downsample3D(
@@ -143,6 +147,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     in_channels: int
     num_layers: int = 1
     use_motion: bool = False  # motion_module_mid_block defaults False
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -154,12 +159,12 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             hidden_states, temb, temb_frame0)
         for i in range(self.num_layers):
             hidden_states = _spatial_transformer(
-                cfg, self.in_channels, f"attentions_{i}", self.dtype)(
-                hidden_states, context, context_2)
+                cfg, self.in_channels, f"attentions_{i}", self.dtype,
+                self.pab)(hidden_states, context, context_2)
             if self.use_motion:
                 hidden_states = _motion(cfg, self.in_channels,
-                                        f"motion_modules_{i}", self.dtype)(
-                    hidden_states)
+                                        f"motion_modules_{i}", self.dtype,
+                                        self.pab)(hidden_states)
             hidden_states = _resnet(cfg, self.in_channels, self.in_channels,
                                     f"resnets_{i + 1}", self.dtype)(
                 hidden_states, temb, temb_frame0)
@@ -174,6 +179,7 @@ class CrossAttnUpBlock3D(nn.Module):
     num_layers: int = 3
     add_upsample: bool = True
     use_motion: bool = True
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -192,12 +198,12 @@ class CrossAttnUpBlock3D(nn.Module):
                                     f"resnets_{i}", self.dtype)(
                 hidden_states, temb, temb_frame0)
             hidden_states = _spatial_transformer(
-                cfg, self.out_channels, f"attentions_{i}", self.dtype)(
-                hidden_states, context, context_2)
+                cfg, self.out_channels, f"attentions_{i}", self.dtype,
+                self.pab)(hidden_states, context, context_2)
             if self.use_motion:
                 hidden_states = _motion(cfg, self.out_channels,
-                                        f"motion_modules_{i}", self.dtype)(
-                    hidden_states)
+                                        f"motion_modules_{i}", self.dtype,
+                                        self.pab)(hidden_states)
         if self.add_upsample:
             hidden_states = Upsample3D(self.out_channels, dtype=self.dtype,
                                        name="upsamplers_0")(
@@ -213,6 +219,7 @@ class UpBlock3D(nn.Module):
     num_layers: int = 3
     add_upsample: bool = True
     use_motion: bool = True
+    pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -231,8 +238,8 @@ class UpBlock3D(nn.Module):
                 hidden_states, temb, temb_frame0)
             if self.use_motion:
                 hidden_states = _motion(cfg, self.out_channels,
-                                        f"motion_modules_{i}", self.dtype)(
-                    hidden_states)
+                                        f"motion_modules_{i}", self.dtype,
+                                        self.pab)(hidden_states)
         if self.add_upsample:
             hidden_states = Upsample3D(self.out_channels, dtype=self.dtype,
                                        name="upsamplers_0")(

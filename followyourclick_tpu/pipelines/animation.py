@@ -60,6 +60,15 @@ class SampleSpec:
     # across adjacent timesteps — same family as Pyramid Attention
     # Broadcast, arXiv 2408.12588). k=1 reproduces the exact reference CFG.
     cfg_cache_interval: int = flax.struct.field(pytree_node=False, default=1)
+    # OPT-IN serving approximation (NOT reference behavior, off by default):
+    # PAB-style attention-output reuse (models/pab.py, arXiv 2408.12588).
+    # Each attention kind recomputes every k-th step and broadcasts the
+    # cached sublayer output in between; 1 = exact. The step schedule is
+    # static, so XLA compiles real skips (no dynamic control flow).
+    pab_spatial_interval: int = flax.struct.field(pytree_node=False, default=1)
+    pab_cross_interval: int = flax.struct.field(pytree_node=False, default=1)
+    pab_temporal_interval: int = flax.struct.field(pytree_node=False,
+                                                  default=1)
 
 
 class AnimationPipeline:
@@ -319,6 +328,21 @@ class AnimationPipeline:
             return jax.random.normal(jax.random.fold_in(rng, i),
                                      (b, f, h, w, 4), dtype=jnp.float32)
 
+        def build_x(latents):
+            if use_mask_concat:
+                return jnp.concatenate([dup(latents), cond_channels], axis=-1)
+            return dup(latents)
+
+        pab_on = (spec.pab_spatial_interval > 1
+                  or spec.pab_cross_interval > 1
+                  or spec.pab_temporal_interval > 1)
+        if pab_on:
+            assert spec.video_scale == 0 and not cfg_cache, (
+                "pab_*_interval composes with plain CFG only (no video_scale "
+                "3-term guidance, no cfg_cache_interval)")
+            return self._denoise_pab(params, latents, cond, spec, sched,
+                                     build_x, _step_noise, do_cfg, mult)
+
         def step(carry, i):
             latents, cached_uncond = carry
             t = sched.timesteps[i]
@@ -400,19 +424,117 @@ class AnimationPipeline:
                                        jnp.arange(spec.num_inference_steps))
         return latents
 
-    def decode_latents(self, params, latents: jnp.ndarray,
-                       frame_chunk: int = 1) -> jnp.ndarray:
-        """(B, F, h, w, 4) → video (B, F, H, W, 3) in [0, 1]; frames decoded
-        under a rematerialized scan (reference decode_latents :400-413).
+    def _denoise_pab(self, params, latents, cond, spec, sched, build_x,
+                     _step_noise, do_cfg, mult):
+        """PAB-style denoise loop (OPT-IN approximation, models/pab.py).
 
-        ``frame_chunk`` frames decode per scan step. Measured on v5e at 512²:
-        chunk=1 0.53 s / 16 frames vs chunk=4 0.87 s — the 512² decoder's
-        activation working set already saturates the chip per frame, so
-        chunking only adds memory pressure; keep 1 (chunking may still win
-        at ≤256² — re-measure before changing).
+        The reuse schedule is static: step positions are unrolled over one
+        period (lcm of the intervals) inside a ``lax.scan`` over periods, so
+        every step variant compiles to a UNet with the reused attention
+        sublayers *actually removed*; the attention cache (the "pab" flax
+        collection) is threaded as part of the scan carry. Leftover steps
+        after the last full period run as exact full-compute steps.
+        """
+        import dataclasses as _dc
+        import math
+
+        from followyourclick_tpu.models.pab import PabMode
+        from followyourclick_tpu.models.unet3d import UNet3DConditionModel
+
+        b = latents.shape[0]
+        S = spec.num_inference_steps
+        intervals = dict(spatial=max(1, spec.pab_spatial_interval),
+                         cross=max(1, spec.pab_cross_interval),
+                         temporal=max(1, spec.pab_temporal_interval))
+        period = math.lcm(*intervals.values())
+        rec = PabMode(record_spatial=intervals["spatial"] > 1,
+                      record_cross=intervals["cross"] > 1,
+                      record_temporal=intervals["temporal"] > 1)
+
+        def mode_at(j: int) -> PabMode:
+            return _dc.replace(
+                rec,
+                reuse_spatial=(intervals["spatial"] > 1
+                               and j % intervals["spatial"] != 0),
+                reuse_cross=(intervals["cross"] > 1
+                             and j % intervals["cross"] != 0),
+                reuse_temporal=(intervals["temporal"] > 1
+                                and j % intervals["temporal"] != 0))
+
+        unets = {}
+
+        def unet_for(mode: PabMode) -> UNet3DConditionModel:
+            if mode not in unets:
+                unets[mode] = UNet3DConditionModel(self.config.unet, pab=mode,
+                                                   dtype=self.dtype)
+            return unets[mode]
+
+        def pab_step(latents, cache, i, j: int):
+            x = build_x(latents)
+            t = sched.timesteps[i]
+            t_batch = jnp.broadcast_to(t, (b * mult,))
+            noise_pred, mut = unet_for(mode_at(j)).apply(
+                {"params": params["unet"], "pab": cache},
+                x, t_batch, cond, mutable=["pab"])
+            if do_cfg:
+                uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond_pred + spec.guidance_scale * (
+                    text_pred - uncond_pred)
+            new_latents, _ = ddim_step(sched, noise_pred, i, latents,
+                                       eta=spec.eta, noise=_step_noise(i))
+            return new_latents, dict(mut["pab"])
+
+        # zero-init cache with the record variant's collection structure —
+        # position 0 of every period recomputes all kinds, so the zeros are
+        # never read
+        x0 = build_x(latents)
+        t0 = jnp.zeros((b * mult,), sched.timesteps.dtype)
+        _, pab_shapes = jax.eval_shape(
+            lambda p, x, t: unet_for(mode_at(0)).apply(
+                {"params": p}, x, t, cond, mutable=["pab"]),
+            params["unet"], x0, t0)
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), dict(pab_shapes["pab"]))
+
+        n_periods = S // period
+        tail = S - n_periods * period
+
+        def period_body(carry, ip):
+            latents, cache = carry
+            for j in range(period):
+                latents, cache = pab_step(latents, cache, ip + j, j)
+            return (latents, cache), ()
+
+        (latents, cache), _ = jax.lax.scan(
+            period_body, (latents, cache0),
+            jnp.arange(n_periods) * period)
+        for j in range(tail):  # leftover steps: exact full compute
+            latents, cache = pab_step(latents, cache,
+                                      jnp.asarray(n_periods * period + j), 0)
+        return latents
+
+    def decode_latents(self, params, latents: jnp.ndarray,
+                       frame_chunk: int = 0) -> jnp.ndarray:
+        """(B, F, h, w, 4) → video (B, F, H, W, 3) in [0, 1] (reference
+        decode_latents :400-413 — the reference loops frames on the host to
+        bound torch memory; one batched decode keeps the conv pipeline full).
+
+        ``frame_chunk=0`` (default) decodes all B·F frames as ONE batch —
+        measured on v5e at 512²/16f: 0.27 s vs 0.44 s for the frame-scanned
+        path (the ``lax.map`` slicing/stacking costs ~0.16 s of pure data
+        movement). Positive values decode ``frame_chunk`` frames per
+        rematerialized scan step — use for long clips / large batches where
+        the batched decoder working set would not fit HBM alongside the rest
+        of the program.
         """
         b, f = latents.shape[:2]
         z = latents.astype(self.dtype) / VAE_SCALE
+        if frame_chunk <= 0:
+            img = self.vae.apply({"params": params["vae"]},
+                                 z.reshape(b * f, *z.shape[2:]),
+                                 method=self.vae.decode)
+            video = img.reshape(b, f, *img.shape[1:])
+            return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0).astype(jnp.float32)
         chunk = max(1, min(frame_chunk, f))
         pad = (-f) % chunk
         zf = z.transpose(1, 0, 2, 3, 4)  # (F, B, h, w, 4)

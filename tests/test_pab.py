@@ -1,0 +1,153 @@
+"""PAB-style attention reuse (models/pab.py + the sampler's _denoise_pab).
+
+OPT-IN approximation — these tests pin the mechanics, not parity:
+  * record mode populates the "pab" collection at every attention site
+  * reuse mode actually READS the cache (doctoring it changes the output)
+  * reuse with a cache recorded from the same input reproduces the exact
+    output bit-for-bit (the skipped sublayers contribute identical values)
+  * the pipeline runs end-to-end with intervals > 1 and stays finite
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from followyourclick_tpu.config import (
+    CLIPTextConfig,
+    InferenceConfig,
+    MotionModuleConfig,
+    UNet3DConfig,
+    VAEConfig,
+)
+from followyourclick_tpu.models.pab import PabMode
+from followyourclick_tpu.models.unet3d import UNet3DConditionModel, UNetConditioning
+
+
+def tiny_cfg():
+    return UNet3DConfig(
+        sample_size=32, cross_attention_dim=768, attention_head_dim=8,
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        norm_num_groups=8,
+        motion_module=MotionModuleConfig(num_attention_heads=4),
+        use_fps_condition=True,
+        use_first_frame_mask_condition_concat=True)
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    cfg = tiny_cfg()
+    unet = UNet3DConditionModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    b, f, hw = 1, 2, 16
+    sample = jax.random.normal(rng, (b, f, hw, hw, 9)) * 0.1
+    t = jnp.zeros((b,), jnp.int32)
+    cond = UNetConditioning(
+        context=jax.random.normal(rng, (b, 77, 768)) * 0.02,
+        fps=jnp.full((b,), 8.0), motion_score=jnp.full((b,), 20.0))
+    params = unet.init(rng, sample, t, cond)["params"]
+    return cfg, params, sample, t, cond
+
+
+RECORD_ALL = PabMode(record_spatial=True, record_cross=True,
+                     record_temporal=True)
+REUSE_ALL = PabMode(reuse_spatial=True, reuse_cross=True, reuse_temporal=True,
+                    record_spatial=True, record_cross=True,
+                    record_temporal=True)
+
+
+def test_record_populates_all_sites(unet_setup):
+    cfg, params, sample, t, cond = unet_setup
+    unet = UNet3DConditionModel(cfg, pab=RECORD_ALL)
+    out, mut = unet.apply({"params": params}, sample, t, cond,
+                          mutable=["pab"])
+    leaves = jax.tree_util.tree_leaves(mut["pab"])
+    # every spatial transformer contributes attn1+attn2, every motion module
+    # 2 temporal attentions; the tiny config has 3+1+3 CrossAttn blocks and
+    # motion modules in all non-mid blocks
+    assert len(leaves) >= 20, len(leaves)
+    # exact forward is unchanged by recording
+    ref = UNet3DConditionModel(cfg).apply({"params": params}, sample, t, cond)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_reuse_reproduces_exact_and_reads_cache(unet_setup):
+    cfg, params, sample, t, cond = unet_setup
+    rec = UNet3DConditionModel(cfg, pab=RECORD_ALL)
+    out_rec, mut = rec.apply({"params": params}, sample, t, cond,
+                             mutable=["pab"])
+    cache = mut["pab"]
+
+    reuse = UNet3DConditionModel(cfg, pab=REUSE_ALL)
+    out_reuse, mut2 = reuse.apply({"params": params, "pab": cache},
+                                  sample, t, cond, mutable=["pab"])
+    # same input + same cache → bit-identical output
+    np.testing.assert_array_equal(np.asarray(out_rec), np.asarray(out_reuse))
+    # the write-back keeps the collection tree identical (scan-carry shape)
+    assert (jax.tree_util.tree_structure(dict(mut["pab"]))
+            == jax.tree_util.tree_structure(dict(mut2["pab"])))
+
+    # doctor one cached attention output → output must change (proves the
+    # reuse path reads the cache instead of recomputing)
+    doctored = jax.tree_util.tree_map(lambda x: x + 1.0, cache)
+    out_doc = reuse.apply({"params": params, "pab": doctored},
+                          sample, t, cond, mutable=["pab"])[0]
+    assert not np.allclose(np.asarray(out_doc), np.asarray(out_rec))
+
+
+def test_pipeline_pab_end_to_end():
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    class FakeTokenizer:
+        model_max_length = 77
+
+        def __call__(self, texts, padding=None, max_length=None,
+                     truncation=False, return_tensors="np"):
+            import types
+            ids = np.zeros((len(texts), 77), dtype=np.int64)
+            for i, t in enumerate(texts):
+                rs = np.random.RandomState(abs(hash(t)) % (2 ** 31))
+                ids[i] = rs.randint(0, 1000, size=77)
+            return types.SimpleNamespace(input_ids=ids)
+
+    cfg = InferenceConfig(
+        unet=tiny_cfg(),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+    pipe = AnimationPipeline(cfg, None, None, None, tokenizer=FakeTokenizer())
+    ids = jnp.zeros((1, 77), jnp.int32)
+    sample = jnp.zeros((2, 2, 8, 8, 9))
+    cond = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                            fps=jnp.full((2,), 8.0),
+                            motion_score=jnp.full((2,), 20.0))
+    pipe.params = {
+        "unet": pipe.unet.init(rng, sample, jnp.zeros((2,), jnp.int32),
+                               cond)["params"],
+        "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"],
+        "text_encoder": pipe.text_encoder.init(rng, ids)["params"],
+    }
+
+    spec = SampleSpec(video_length=2, height=64, width=64,
+                      num_inference_steps=5, guidance_scale=7.5,
+                      pab_spatial_interval=2, pab_cross_interval=2,
+                      pab_temporal_interval=2)
+    first = jnp.zeros((1, 8, 8, 4))
+    mask = jnp.ones((1, 8, 8, 1))
+    video = pipe(["a prompt"], spec=spec, first_image_latents=first,
+                 mask=mask, seed=0)
+    assert video.shape == (1, 2, 64, 64, 3)
+    assert np.isfinite(video).all()
+
+    # intervals=1 goes through the exact scan path and still works
+    spec1 = SampleSpec(video_length=2, height=64, width=64,
+                       num_inference_steps=3, guidance_scale=7.5)
+    video1 = pipe(["a prompt"], spec=spec1, first_image_latents=first,
+                  mask=mask, seed=0)
+    assert np.isfinite(video1).all()
