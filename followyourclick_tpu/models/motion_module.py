@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from followyourclick_tpu.config import MotionModuleConfig
@@ -27,6 +28,27 @@ from followyourclick_tpu.models.layers import GroupNorm, temporal_positional_enc
 from followyourclick_tpu.models.pab import PabMode, pab_site
 from followyourclick_tpu.models.rope import apply_rope, rope_tables
 from followyourclick_tpu.ops.attention import dot_product_attention
+
+
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``-shaped params (``kernel`` [+ ``bias``]) without
+    applying them — the fused temporal kernel consumes the raw weights. The
+    param tree is identical to ``nn.Dense(features, name=...)``, so the
+    fused and unfused paths share checkpoints and converters."""
+
+    in_features: int
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            return kernel, bias
+        return kernel, None
 
 
 class LoRADense(nn.Module):
@@ -85,6 +107,31 @@ class TemporalAttention(nn.Module):
             pe = temporal_positional_encoding(
                 self.temporal_position_encoding_max_len, c)
             x = x + pe[:, :video_length].astype(x.dtype)
+
+        # fully-fused fast path: q/k/v/out projections + per-head attention
+        # in one Pallas kernel (ops/temporal_attention.fused_temporal_block).
+        # At C=1280 the unfused GEMMs are already MXU-shaped, so only the
+        # smaller widths route here; LoRA/RoPE/cross/upcast variants keep the
+        # modular path.
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and context is None and not self.add_temporal_lora
+            and not self.use_rope and not self.upcast_attention
+            and inner_dim == c and self.query_dim == c and c < 1280)
+        if use_fused:
+            from followyourclick_tpu.ops.temporal_attention import (
+                fused_temporal_block,
+            )
+
+            wq, _ = _DenseParams(c, inner_dim, name="to_q")()
+            wk, _ = _DenseParams(c, inner_dim, name="to_k")()
+            wv, _ = _DenseParams(c, inner_dim, name="to_v")()
+            wo, bo = _DenseParams(inner_dim, self.query_dim,
+                                  use_bias=True, name="to_out")()
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            return fused_temporal_block(
+                x, cast(wq), cast(wk), cast(wv), cast(wo), cast(bo),
+                scale=self.dim_head ** -0.5, heads=self.heads)
 
         if context is not None:
             d = bd // context.shape[0]

@@ -106,9 +106,8 @@ class TemporalConvBlock(nn.Module):
         h_ = x
         for i in range(4):
             # GroupNorm over the whole clip volume (torch GroupNorm on 5D)
-            h_ = GroupNorm(num_groups=32, dtype=self.dtype,
+            h_ = GroupNorm(num_groups=32, dtype=self.dtype, act="silu",
                            name=f"norm{i + 1}")(h_)
-            h_ = nn.silu(h_)
             is_last = i == 3
             # (3,1,1) conv3d == k=3 conv along frames per spatial location
             h_ = h_.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
@@ -185,8 +184,11 @@ class ResnetBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _norm(self, name: str, groups: int):
+        # fold the block's SiLU into the norm when the nonlinearity is
+        # swish/silu (single-pass TPU kernel, ops/groupnorm.py)
+        fold = "silu" if self.non_linearity in ("swish", "silu") else None
         return GroupNorm(num_groups=groups, epsilon=self.eps, dtype=self.dtype,
-                         name=name)
+                         act=fold, name=name)
 
     def _apply_norm(self, norm, x: jnp.ndarray) -> jnp.ndarray:
         # Naming follows the reference (resnet.py:9-17): InflatedGroupNorm
@@ -212,8 +214,10 @@ class ResnetBlock3D(nn.Module):
         temb_frame0: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         act = get_activation(self.non_linearity)
+        folded = self.non_linearity in ("swish", "silu")
         hidden = self._apply_norm(self._norm("norm1", self.groups), x)
-        hidden = act(hidden)
+        if not folded:
+            hidden = act(hidden)
         hidden = self._conv("conv1", self.out_channels)(hidden)
 
         if temb is not None:
@@ -228,7 +232,8 @@ class ResnetBlock3D(nn.Module):
             hidden = hidden + t
 
         hidden = self._apply_norm(self._norm("norm2", self.groups), hidden)
-        hidden = act(hidden)
+        if not folded:
+            hidden = act(hidden)
         hidden = self._conv("conv2", self.out_channels)(hidden)
 
         if self.in_channels != self.out_channels:

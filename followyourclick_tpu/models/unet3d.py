@@ -216,14 +216,13 @@ class UNet3DConditionModel(nn.Module):
 
         out_norm = GroupNorm(num_groups=cfg.norm_num_groups,
                              epsilon=cfg.norm_eps, dtype=self.dtype,
-                             name="conv_norm_out")
+                             act="silu", name="conv_norm_out")
         if cfg.use_inflated_groupnorm:
             bf_sample = sample.reshape(b * f, *sample.shape[2:])
             sample = out_norm(bf_sample).reshape(b, f, *bf_sample.shape[1:])
         else:
             # plain GroupNorm on the 5D clip: stats over (F, H, W, C/g)
             sample = out_norm(sample)
-        sample = nn.silu(sample)
         sample = InflatedConv(cfg.out_channels, kernel_size=3,
                               dtype=self.dtype, name="conv_out")(sample)
         return sample

@@ -41,13 +41,11 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
-    g, f, c = q_ref.shape
+def _attend(q, k, v, scale: float, heads: int):
+    """Per-head attention on raw-layout (G, F, C) VMEM arrays (fp32 out)."""
+    g, f, c = q.shape
     d = c // heads
     m = f * heads
-    q = q_ref[:]
-    k = k_ref[:]
-    v = v_ref[:]
 
     # tile-repeat frames `heads` times along sublanes: rows j = h·F + f'
     # (a plain self-concatenate — portable to interpret mode, and measured
@@ -83,9 +81,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
         dfull = jnp.where(sel, dh, dfull)
     p = (p / dfull).astype(v.dtype)
 
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         p, v_rep, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (G, F, C)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    o = _attend(q_ref[:], k_ref[:], v_ref[:], scale, heads)
     o_ref[:] = o.astype(o_ref.dtype)
 
 
@@ -184,3 +186,125 @@ def temporal_attention(
     vp = value.reshape(b, s, h * d)
     out = _attn(qp, kp, vp, scale, h, block_b, interpret)
     return out.reshape(b, s, h, d)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused motion-module attention: q/k/v/out projections + attention in
+# ONE kernel. The projection weights (C×C, ≤3.3 MB at C=1280) live in VMEM,
+# so the hidden states are read from HBM once and the attention output is
+# written once — the four separate XLA GEMMs plus the layout copies between
+# them (the projections' batch-minor outputs must be relayout-copied into the
+# kernel's row-major blocks, ~10 ms/step at clip sizes) disappear. Measured
+# v5e per attention call (F=16, h=8): 64² (b=8192, C=320) 2.33 → 1.73 ms;
+# 32² (b=2048, C=640) 1.23 → 0.70 ms; ~parity at C=1280 where the unfused
+# GEMMs are already large (routing in models/motion_module.py keeps those on
+# the unfused path).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+                  *, scale: float, heads: int):
+    g, f, c = x_ref.shape
+    x = x_ref[:]
+    x2 = x.reshape(g * f, c)
+    q = jnp.dot(x2, wq_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(x2, wk_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(x2, wv_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    o = _attend(q.reshape(g, f, c), k.reshape(g, f, c), v.reshape(g, f, c),
+                scale, heads)
+    o2 = o.astype(x.dtype).reshape(g * f, c)
+    out = jnp.dot(o2, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(g, f, c)
+
+
+def _fused_fwd_impl(x, wq, wk, wv, wo, bo, scale, heads, block_b, interpret):
+    b, s, c = x.shape
+    pad = (-b) % block_b
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    bp = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, scale=scale, heads=heads),
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_b, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, s, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * s * c * (4 * c + 2 * s * heads),
+            bytes_accessed=2 * bp * s * c * x.dtype.itemsize,
+            transcendentals=bp * s * s * heads,
+        ),
+        interpret=interpret,
+    )(x, wq, wk, wv, wo, bo)
+    return out[:b]
+
+
+def _fused_ref_fp32(x, wq, wk, wv, wo, bo, scale, heads):
+    """fp32 XLA reference of the fused block (backward recompute)."""
+    b, s, c = x.shape
+    d = c // heads
+    xf = x.astype(jnp.float32)
+    q = (xf @ wq.astype(jnp.float32)).reshape(b, s, heads, d)
+    k = (xf @ wk.astype(jnp.float32)).reshape(b, s, heads, d)
+    v = (xf @ wv.astype(jnp.float32)).reshape(b, s, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, c)
+    return o @ wo.astype(jnp.float32) + bo.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused(x, wq, wk, wv, wo, bo, scale, heads, block_b, interpret):
+    return _fused_fwd_impl(x, wq, wk, wv, wo, bo, scale, heads, block_b,
+                           interpret)
+
+
+def _fused_vjp_fwd(x, wq, wk, wv, wo, bo, scale, heads, block_b, interpret):
+    out = _fused(x, wq, wk, wv, wo, bo, scale, heads, block_b, interpret)
+    return out, (x, wq, wk, wv, wo, bo)
+
+
+def _fused_vjp_bwd(scale, heads, block_b, interpret, res, g):
+    x, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _fused_ref_fp32(*a, scale, heads), x, wq, wk, wv, wo, bo)
+    grads = vjp(g.astype(jnp.float32))
+    return tuple(gr.astype(r.dtype) for gr, r in zip(grads, res))
+
+
+_fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_temporal_block(
+    x: jnp.ndarray,      # (B, S, C) frames-minor rows, PE already added
+    wq: jnp.ndarray,     # (C, C)
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,     # (C,)
+    scale: float | None = None,
+    heads: int = 8,
+    block_b: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """q/k/v/out projections + per-head frame attention, fused in VMEM."""
+    b, s, c = x.shape
+    if scale is None:
+        scale = (c // heads) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_b is None:
+        # k_rep/v_rep (G, S·H, C) tiles + fp32 logits + 4 C×C weight panels
+        block_b = max(1, min(64, 8 * 1024 * 1024 // (s * heads * c * 2), b))
+    return _fused(x, wq, wk, wv, wo, bo, scale, heads, block_b, interpret)

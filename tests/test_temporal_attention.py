@@ -70,3 +70,59 @@ def test_gradients_match_xla():
     for a, b in zip(gr, gk):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_fused_block_matches_modular():
+    """fused_temporal_block (projections + attention in one kernel) vs the
+    modular path: Dense q/k/v -> per-head XLA attention -> Dense out."""
+    from followyourclick_tpu.ops.temporal_attention import fused_temporal_block
+
+    rng = jax.random.PRNGKey(3)
+    ks = jax.random.split(rng, 6)
+    bd, f, c, h = 48, 16, 320, 8
+    d = c // h
+    x = _rand(ks[0], (bd, f, c))
+    wq = _rand(ks[1], (c, c)) * 0.1
+    wk = _rand(ks[2], (c, c)) * 0.1
+    wv = _rand(ks[3], (c, c)) * 0.1
+    wo = _rand(ks[4], (c, c)) * 0.1
+    bo = _rand(ks[5], (c,)) * 0.1
+
+    q = (x @ wq).reshape(bd, f, h, d)
+    k = (x @ wk).reshape(bd, f, h, d)
+    v = (x @ wv).reshape(bd, f, h, d)
+    o = _xla_attention(q, k, v, None, d ** -0.5).reshape(bd, f, c)
+    ref = o @ wo + bo
+
+    got = fused_temporal_block(x, wq, wk, wv, wo, bo, heads=h,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_fused_block_gradients():
+    from followyourclick_tpu.ops.temporal_attention import (
+        _fused_ref_fp32,
+        fused_temporal_block,
+    )
+
+    rng = jax.random.PRNGKey(4)
+    ks = jax.random.split(rng, 6)
+    bd, f, c, h = 8, 8, 64, 4
+    args = (_rand(ks[0], (bd, f, c)),
+            _rand(ks[1], (c, c)) * 0.1, _rand(ks[2], (c, c)) * 0.1,
+            _rand(ks[3], (c, c)) * 0.1, _rand(ks[4], (c, c)) * 0.1,
+            _rand(ks[5], (c,)) * 0.1)
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_fused_ref_fp32(*a, (c // h) ** -0.5, h)))
+
+    def loss_kernel(*a):
+        return jnp.sum(jnp.sin(fused_temporal_block(
+            *a, heads=h, interpret=True)))
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gk = jax.grad(loss_kernel, argnums=tuple(range(6)))(*args)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
