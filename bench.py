@@ -133,6 +133,13 @@ def main():
     pab_p50 = time_spec(pipe, pab_spec, b, n_iters)
     pab_fps = frames * b / pab_p50
 
+    # opt-in serving approximation C: PAB composed with static CFG-uncond
+    # caching — cond-half-only UNet steps between uncond refreshes
+    # (period-4 schedule: full / half+reuse / half+compute / half+reuse)
+    stack_spec = pab_spec.replace(cfg_cache_interval=4)
+    stack_p50 = time_spec(pipe, stack_spec, b, n_iters)
+    stack_fps = frames * b / stack_p50
+
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_16f_512px_25step",
         "value": round(fps, 3),
@@ -143,6 +150,8 @@ def main():
         "optin_cfg_cache3_p50_s": round(optin_p50, 3),
         "optin_pab_222_fps": round(pab_fps, 3),
         "optin_pab_222_p50_s": round(pab_p50, 3),
+        "optin_pab2_cfg4_fps": round(stack_fps, 3),
+        "optin_pab2_cfg4_p50_s": round(stack_p50, 3),
         "workload": f"{frames}f_{height}px_{steps}steps_cfg",
         "backend": jax.default_backend(),
     }))

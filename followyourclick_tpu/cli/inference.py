@@ -109,6 +109,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera_motion_lora", type=str, default="",
                    help="motion-module LoRA ckpt merged at load")
     p.add_argument("--camera_motion_lora_alpha", type=float, default=1.0)
+    # OPT-IN serving approximations (NOT reference behavior; 1 = exact).
+    # See SampleSpec.cfg_cache_interval / pab_*_interval.
+    p.add_argument("--cfg_cache_interval", type=int, default=1,
+                   help="recompute the CFG uncond branch every k-th step")
+    p.add_argument("--pab_interval", type=int, default=1,
+                   help="PAB-style attention reuse: refresh attention "
+                        "outputs every k-th step (composes with "
+                        "--cfg_cache_interval)")
     return p
 
 
@@ -196,7 +204,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                 video_scale=args.video_scale,
                 use_interpolate_noise=args.use_interpolate_noise,
                 use_first_image_as_init_latents=(
-                    args.use_first_image_as_init_latents))
+                    args.use_first_image_as_init_latents),
+                cfg_cache_interval=args.cfg_cache_interval,
+                pab_spatial_interval=args.pab_interval,
+                pab_cross_interval=args.pab_interval,
+                pab_temporal_interval=args.pab_interval)
 
             seeds = mc.get("seed", [args.seed])
             if not isinstance(seeds, list):

@@ -42,6 +42,12 @@ class PabMode:
     record_spatial: bool = False
     record_cross: bool = False
     record_temporal: bool = False
+    # The UNet is being applied to the COND half of the CFG batch only
+    # (the sampler's static CFG-uncond caching, cfg_cache_interval, composed
+    # with PAB): cached values are full-CFG-batch shaped, so reuse returns
+    # their second half and record updates only that half. Works because
+    # every attention site folds batch into the leading factor of dim 0.
+    half: bool = False
 
     def reuse(self, kind: str) -> bool:
         return getattr(self, f"reuse_{kind}")
@@ -64,6 +70,22 @@ def pab_site(
     """
     if pab is None:
         return compute()
+    if pab.half:
+        # cond-half application against a full-CFG-shaped cache
+        assert mdl.has_variable("pab", name), (
+            "half-batch PAB steps require a cache recorded by a full step")
+        cached = mdl.get_variable("pab", name)
+        n2 = cached.shape[0] // 2
+        if pab.reuse(kind):
+            if pab.record(kind):  # write-back: keep the collection tree
+                var = mdl.variable("pab", name, lambda: cached)
+                var.value = cached
+            return cached[n2:]
+        out = compute()
+        if pab.record(kind):
+            var = mdl.variable("pab", name, lambda: cached)
+            var.value = jnp.concatenate([cached[:n2], out], axis=0)
+        return out
     if pab.reuse(kind) and mdl.has_variable("pab", name):
         out = mdl.get_variable("pab", name)
     else:

@@ -337,9 +337,12 @@ class AnimationPipeline:
                   or spec.pab_cross_interval > 1
                   or spec.pab_temporal_interval > 1)
         if pab_on:
-            assert spec.video_scale == 0 and not cfg_cache, (
+            # cfg_cache_interval COMPOSES with PAB here: the static period
+            # schedule runs cond-half-only UNet steps between uncond
+            # refreshes (no lax.cond — each variant is its own graph)
+            assert spec.video_scale == 0, (
                 "pab_*_interval composes with plain CFG only (no video_scale "
-                "3-term guidance, no cfg_cache_interval)")
+                "3-term guidance)")
             return self._denoise_pab(params, latents, cond, spec, sched,
                                      build_x, _step_noise, do_cfg, mult)
 
@@ -441,19 +444,21 @@ class AnimationPipeline:
         from followyourclick_tpu.models.pab import PabMode
         from followyourclick_tpu.models.unet3d import UNet3DConditionModel
 
-        b = latents.shape[0]
+        b, f, h, w = latents.shape[:4]
         S = spec.num_inference_steps
         intervals = dict(spatial=max(1, spec.pab_spatial_interval),
                          cross=max(1, spec.pab_cross_interval),
                          temporal=max(1, spec.pab_temporal_interval))
-        period = math.lcm(*intervals.values())
+        cfg_k = (spec.cfg_cache_interval
+                 if do_cfg and spec.cfg_cache_interval > 1 else 1)
+        period = math.lcm(cfg_k, *intervals.values())
         rec = PabMode(record_spatial=intervals["spatial"] > 1,
                       record_cross=intervals["cross"] > 1,
                       record_temporal=intervals["temporal"] > 1)
 
-        def mode_at(j: int) -> PabMode:
+        def mode_at(j: int, half: bool = False) -> PabMode:
             return _dc.replace(
-                rec,
+                rec, half=half,
                 reuse_spatial=(intervals["spatial"] > 1
                                and j % intervals["spatial"] != 0),
                 reuse_cross=(intervals["cross"] > 1
@@ -469,20 +474,38 @@ class AnimationPipeline:
                                                    dtype=self.dtype)
             return unets[mode]
 
-        def pab_step(latents, cache, i, j: int):
-            x = build_x(latents)
+        # UNetConditioning restricted to the cond half of the CFG batch
+        cond_half = jax.tree_util.tree_map(
+            lambda a: a[b:] if hasattr(a, "shape")
+            and a.shape[:1] == (2 * b,) else a, cond)
+
+        def pab_step(latents, cache, uncond_cached, i, j: int):
             t = sched.timesteps[i]
-            t_batch = jnp.broadcast_to(t, (b * mult,))
-            noise_pred, mut = unet_for(mode_at(j)).apply(
-                {"params": params["unet"], "pab": cache},
-                x, t_batch, cond, mutable=["pab"])
-            if do_cfg:
-                uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
-                noise_pred = uncond_pred + spec.guidance_scale * (
-                    text_pred - uncond_pred)
+            full = j % cfg_k == 0
+            if full:
+                x = build_x(latents)
+                noise_pred, mut = unet_for(mode_at(j)).apply(
+                    {"params": params["unet"], "pab": cache},
+                    x, jnp.broadcast_to(t, (b * mult,)), cond,
+                    mutable=["pab"])
+                if do_cfg:
+                    uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
+                    uncond_cached = uncond_pred
+                    noise_pred = uncond_pred + spec.guidance_scale * (
+                        text_pred - uncond_pred)
+            else:
+                # cond-half-only UNet step against the cached uncond branch
+                # (static composition of cfg_cache_interval with PAB)
+                x = build_x(latents)[b:]
+                text_pred, mut = unet_for(mode_at(j, half=True)).apply(
+                    {"params": params["unet"], "pab": cache},
+                    x, jnp.broadcast_to(t, (b,)), cond_half,
+                    mutable=["pab"])
+                noise_pred = uncond_cached + spec.guidance_scale * (
+                    text_pred - uncond_cached)
             new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                        eta=spec.eta, noise=_step_noise(i))
-            return new_latents, dict(mut["pab"])
+            return new_latents, dict(mut["pab"]), uncond_cached
 
         # zero-init cache with the record variant's collection structure —
         # position 0 of every period recomputes all kinds, so the zeros are
@@ -495,22 +518,28 @@ class AnimationPipeline:
             params["unet"], x0, t0)
         cache0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), dict(pab_shapes["pab"]))
+        uncond0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
 
-        n_periods = S // period
+        # with CFG caching composed in, keep the last two steps exact
+        # (mirrors the exact path's `i >= S - 2` recompute guard)
+        scan_steps = max(S - 2, 0) if cfg_k > 1 else S
+        n_periods = scan_steps // period
         tail = S - n_periods * period
 
         def period_body(carry, ip):
-            latents, cache = carry
+            latents, cache, uncond = carry
             for j in range(period):
-                latents, cache = pab_step(latents, cache, ip + j, j)
-            return (latents, cache), ()
+                latents, cache, uncond = pab_step(latents, cache, uncond,
+                                                  ip + j, j)
+            return (latents, cache, uncond), ()
 
-        (latents, cache), _ = jax.lax.scan(
-            period_body, (latents, cache0),
+        (latents, cache, uncond), _ = jax.lax.scan(
+            period_body, (latents, cache0, uncond0),
             jnp.arange(n_periods) * period)
         for j in range(tail):  # leftover steps: exact full compute
-            latents, cache = pab_step(latents, cache,
-                                      jnp.asarray(n_periods * period + j), 0)
+            latents, cache, uncond = pab_step(
+                latents, cache, uncond,
+                jnp.asarray(n_periods * period + j), 0)
         return latents
 
     def decode_latents(self, params, latents: jnp.ndarray,

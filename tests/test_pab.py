@@ -151,3 +151,84 @@ def test_pipeline_pab_end_to_end():
     video1 = pipe(["a prompt"], spec=spec1, first_image_latents=first,
                   mask=mask, seed=0)
     assert np.isfinite(video1).all()
+
+
+def test_half_mode_matches_cond_half(unet_setup):
+    """A cond-half application with half=True reuse must reproduce the cond
+    half of the full-CFG application exactly (rows are independent)."""
+    cfg, params, sample, t, cond = unet_setup
+    # build a CFG-like batch of 2 by stacking two different samples
+    sample2 = jnp.concatenate([sample, sample * 0.5 + 0.1], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    cond2 = UNetConditioning(
+        context=jnp.concatenate([cond.context, cond.context * 0.7], axis=0),
+        fps=jnp.concatenate([cond.fps, cond.fps]),
+        motion_score=jnp.concatenate([cond.motion_score, cond.motion_score]))
+
+    rec = UNet3DConditionModel(cfg, pab=RECORD_ALL)
+    out_full, mut = rec.apply({"params": params}, sample2, t2, cond2,
+                              mutable=["pab"])
+    cache = mut["pab"]
+
+    import dataclasses
+    half_mode = dataclasses.replace(REUSE_ALL, half=True)
+    half = UNet3DConditionModel(cfg, pab=half_mode)
+    b = sample.shape[0]
+    cond_half = UNetConditioning(context=cond2.context[b:],
+                                 fps=cond2.fps[b:],
+                                 motion_score=cond2.motion_score[b:])
+    out_half, _ = half.apply({"params": params, "pab": cache},
+                             sample2[b:], t2[b:], cond_half, mutable=["pab"])
+    np.testing.assert_allclose(np.asarray(out_half),
+                               np.asarray(out_full[b:]), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_pipeline_pab_cfg_composition():
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    class FakeTokenizer:
+        model_max_length = 77
+
+        def __call__(self, texts, padding=None, max_length=None,
+                     truncation=False, return_tensors="np"):
+            import types
+            ids = np.zeros((len(texts), 77), dtype=np.int64)
+            for i, t in enumerate(texts):
+                rs = np.random.RandomState(abs(hash(t)) % (2 ** 31))
+                ids[i] = rs.randint(0, 1000, size=77)
+            return types.SimpleNamespace(input_ids=ids)
+
+    cfg = InferenceConfig(
+        unet=tiny_cfg(),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+    pipe = AnimationPipeline(cfg, None, None, None, tokenizer=FakeTokenizer())
+    ids = jnp.zeros((1, 77), jnp.int32)
+    sample = jnp.zeros((2, 2, 8, 8, 9))
+    cond = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                            fps=jnp.full((2,), 8.0),
+                            motion_score=jnp.full((2,), 20.0))
+    pipe.params = {
+        "unet": pipe.unet.init(rng, sample, jnp.zeros((2,), jnp.int32),
+                               cond)["params"],
+        "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"],
+        "text_encoder": pipe.text_encoder.init(rng, ids)["params"],
+    }
+    spec = SampleSpec(video_length=2, height=64, width=64,
+                      num_inference_steps=9, guidance_scale=7.5,
+                      pab_spatial_interval=2, pab_cross_interval=2,
+                      pab_temporal_interval=2, cfg_cache_interval=4)
+    first = jnp.zeros((1, 8, 8, 4))
+    mask = jnp.ones((1, 8, 8, 1))
+    video = pipe(["a prompt"], spec=spec, first_image_latents=first,
+                 mask=mask, seed=0)
+    assert video.shape == (1, 2, 64, 64, 3)
+    assert np.isfinite(video).all()
