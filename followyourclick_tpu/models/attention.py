@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from followyourclick_tpu.models.layers import GroupNorm
@@ -128,9 +129,31 @@ class CrossAttention(nn.Module):
         return to_out(out)
 
 
+class _DenseParams(nn.Module):
+    """``nn.Dense``-shaped params (``kernel`` + ``bias``) without applying
+    them — fused kernels consume the raw weights while sharing the param
+    tree (and therefore checkpoints/converters) with the modular path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU feed-forward (diffusers FeedForward, attention.py:733):
-    proj to 2×(mult·dim), gate with GELU, project back."""
+    proj to 2×(mult·dim), gate with GELU, project back.
+
+    On TPU the whole block runs as one Pallas kernel
+    (ops/geglu.fused_geglu) that keeps the (rows, 2·inner) intermediate in
+    VMEM — XLA's formulation round-trips it through HBM (~670 MB per 64²
+    clip FF)."""
 
     dim: int
     mult: int = 4
@@ -139,6 +162,16 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
+        c = x.shape[-1]
+        if jax.default_backend() == "tpu":
+            from followyourclick_tpu.ops.geglu import fused_geglu
+
+            w1, b1 = _DenseParams(c, inner * 2, name="proj")()
+            w2, b2 = _DenseParams(inner, self.dim, name="out")()
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            rows = x.reshape(-1, c)
+            y = fused_geglu(rows, cast(w1), cast(b1), cast(w2), cast(b2))
+            return y.reshape(*x.shape[:-1], self.dim)
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)

@@ -1,0 +1,136 @@
+"""Fused GEGLU feed-forward Pallas TPU kernel.
+
+Reference semantics: diffusers ``FeedForward``/``GEGLU``
+(``diffusers/models/attention.py:733,772``): ``x @ W1 + b1`` to ``2*inner``
+channels, split, ``h * gelu(gate)`` (exact erf gelu), project back with
+``W2 + b2``.
+
+XLA materializes the ``(rows, 2*inner)`` intermediate in HBM — ~670 MB of
+round-trip traffic per 64² clip FF. Both weight panels fit VMEM
+(C=320: 1.6 MB + 0.8 MB; C=1280: 26 MB + 13 MB), so this kernel streams row
+blocks and keeps the intermediate entirely in VMEM: one read of x, one write
+of the output. Measured v5e (rows = tokens of one CFG clip step):
+64²/C=320 4.23 → 2.95 ms, 32²/C=640 2.79 → 1.90 ms, 16²/C=1280
+2.16 → 1.84 ms per FF.
+
+gelu uses the Abramowitz–Stegun 7.1.26 erf approximation (|err| ≤ 1.5e-7 —
+two orders below bf16 resolution; Mosaic has no erf primitive).
+
+Backward recomputes through an fp32 XLA reference (training path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    # Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7)
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+_INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
+    x = x_ref[:]                                  # (R, C)
+    h2 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h2 = h2 + b1_ref[:].astype(jnp.float32)
+    h = h2[:, :inner]
+    gate = h2[:, inner:]
+    g = 0.5 * gate * (1.0 + _erf(gate * _INV_SQRT2))
+    y = (h * g).astype(x.dtype)
+    out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret):
+    r, c = x.shape
+    inner = w2.shape[0]
+    pad = (-r) % block_r
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    rp = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kernel, inner=inner),
+        grid=(rp // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, 2 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((2 * inner,), lambda i: (0,)),
+            pl.BlockSpec((inner, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the weight panels alone are ~39 MB at C=1280
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * c * 4 * inner,
+            bytes_accessed=2 * rp * c * x.dtype.itemsize,
+            transcendentals=rp * inner,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+    return out[:r]
+
+
+def _ref_fp32(x, w1, b1, w2, b2):
+    inner = w2.shape[0]
+    xf = x.astype(jnp.float32)
+    h2 = xf @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    h, gate = h2[:, :inner], h2[:, inner:]
+    y = h * jax.nn.gelu(gate, approximate=False)
+    return y @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _geglu(x, w1, b1, w2, b2, block_r, interpret):
+    return _fwd_impl(x, w1, b1, w2, b2, block_r, interpret)
+
+
+def _geglu_fwd(x, w1, b1, w2, b2, block_r, interpret):
+    return _geglu(x, w1, b1, w2, b2, block_r, interpret), (x, w1, b1, w2, b2)
+
+
+def _geglu_bwd(block_r, interpret, res, g):
+    _, vjp = jax.vjp(_ref_fp32, *res)
+    grads = vjp(g.astype(jnp.float32))
+    return tuple(gr.astype(r.dtype) for gr, r in zip(grads, res))
+
+
+_geglu.defvjp(_geglu_fwd, _geglu_bwd)
+
+
+def fused_geglu(
+    x: jnp.ndarray,    # (R, C) token rows
+    w1: jnp.ndarray,   # (C, 2*inner)
+    b1: jnp.ndarray,   # (2*inner,)
+    w2: jnp.ndarray,   # (inner, C)
+    b2: jnp.ndarray,   # (C,)
+    block_r: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """GEGLU feed-forward with the (R, 2*inner) intermediate kept in VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_r is None:
+        # 1024 rows won the v5e sweep at every UNet width; the fp32 h2 block
+        # (42 MB at inner=5120) + weight panels stay under the 110 MB budget
+        block_r = 1024
+    return _geglu(x, w1, b1, w2, b2, block_r, interpret)
