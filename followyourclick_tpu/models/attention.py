@@ -146,6 +146,54 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """``nn.LayerNorm``-shaped params (``scale`` + ``bias``) without applying
+    them — consumed by fused kernels that do the normalization in-kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
+class _GEGLUParams(nn.Module):
+    """Param host matching ``GEGLUFeedForward``'s tree (proj/out Dense)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(self.dim, inner * 2, name="proj")()
+        w2, b2 = _DenseParams(inner, self.dim, name="out")()
+        return w1, b1, w2, b2
+
+
+def _ln_ff_residual(block, h, dim, dtype, ln_name, ff_name):
+    """LayerNorm → GEGLU FF → +residual. On TPU this is ONE Pallas kernel
+    (ops/geglu.fused_ln_geglu): one HBM read of h, one write — the LN pass,
+    the (rows, 2·inner) FF intermediate, and the residual add all stay in
+    VMEM. Param tree identical to the modular path."""
+    if jax.default_backend() == "tpu":
+        from followyourclick_tpu.ops.geglu import fused_ln_geglu
+
+        ls, lb = _LNParams(dim, name=ln_name)()
+        w1, b1, w2, b2 = _GEGLUParams(dim, name=ff_name)()
+        cast = lambda t: t.astype(dtype)  # noqa: E731
+        rows = h.reshape(-1, h.shape[-1])
+        out = fused_ln_geglu(rows, cast(ls), cast(lb), cast(w1), cast(b1),
+                             cast(w2), cast(b2), eps=1e-5, residual=True)
+        return out.reshape(h.shape)
+    normed = _layer_norm(ln_name, dtype)(h)
+    return GEGLUFeedForward(dim, dtype=dtype, name=ff_name)(normed) + h
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU feed-forward (diffusers FeedForward, attention.py:733):
     proj to 2×(mult·dim), gate with GELU, project back.
@@ -297,9 +345,8 @@ class BasicTransformerBlock(nn.Module):
             h = t.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
             h = h.reshape(bf, s, c)
 
-        # 5. feed-forward
-        normed = _layer_norm("norm3", self.dtype)(h)
-        h = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(normed) + h
+        # 5. feed-forward (LN + FF + residual fused on TPU)
+        h = _ln_ff_residual(self, h, self.dim, self.dtype, "norm3", "ff")
         return h
 
 

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from followyourclick_tpu.config import MotionModuleConfig
-from followyourclick_tpu.models.attention import GEGLUFeedForward, _layer_norm
+from followyourclick_tpu.models.attention import (GEGLUFeedForward,
+                                                  _layer_norm,
+                                                  _ln_ff_residual)
 from followyourclick_tpu.models.layers import GroupNorm, temporal_positional_encoding
 from followyourclick_tpu.models.pab import PabMode, pab_site
 from followyourclick_tpu.models.rope import apply_rope, rope_tables
@@ -231,8 +233,7 @@ class TemporalTransformerBlock(nn.Module):
 
             h = pab_site(self, "temporal", f"attn_{i}_out", self.pab,
                          lambda: _attn(h)) + h
-        normed = _layer_norm("ff_norm", self.dtype)(h)
-        h = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(normed) + h
+        h = _ln_ff_residual(self, h, self.dim, self.dtype, "ff_norm", "ff")
         return h
 
 

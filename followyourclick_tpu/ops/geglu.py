@@ -57,6 +57,33 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _ln_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, inner: int, eps: float, residual: bool):
+    """pre-LayerNorm -> GEGLU FF [-> +residual], one read / one write."""
+    x = x_ref[:]                                  # (R, C)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    ctr = xf - mean
+    var = jnp.mean(ctr * ctr, axis=1, keepdims=True)
+    normed = ctr * jax.lax.rsqrt(var + eps)
+    normed = normed * ls_ref[:].astype(jnp.float32) \
+        + lb_ref[:].astype(jnp.float32)
+    normed = normed.astype(x.dtype)
+
+    h2 = jnp.dot(normed, w1_ref[:], preferred_element_type=jnp.float32)
+    h2 = h2 + b1_ref[:].astype(jnp.float32)
+    h = h2[:, :inner]
+    gate = h2[:, inner:]
+    g = 0.5 * gate * (1.0 + _erf(gate * _INV_SQRT2))
+    y = (h * g).astype(x.dtype)
+    out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    out = out.astype(o_ref.dtype)
+    if residual:
+        out = out + x
+    o_ref[:] = out
+
+
 def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret):
     r, c = x.shape
     inner = w2.shape[0]
@@ -97,6 +124,98 @@ def _ref_fp32(x, w1, b1, w2, b2):
     h, gate = h2[:, :inner], h2[:, inner:]
     y = h * jax.nn.gelu(gate, approximate=False)
     return y @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+
+
+def _ln_ref_fp32(x, ls, lb, w1, b1, w2, b2, eps, residual):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    ctr = xf - mean
+    var = jnp.mean(ctr * ctr, axis=1, keepdims=True)
+    normed = ctr * jax.lax.rsqrt(var + eps)
+    normed = normed * ls.astype(jnp.float32) + lb.astype(jnp.float32)
+    out = _ref_fp32(normed, w1, b1, w2, b2)
+    return out + xf if residual else out
+
+
+def _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
+                 interpret):
+    r, c = x.shape
+    inner = w2.shape[0]
+    pad = (-r) % block_r
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    rp = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, inner=inner, eps=eps,
+                          residual=residual),
+        grid=(rp // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, 2 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((2 * inner,), lambda i: (0,)),
+            pl.BlockSpec((inner, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * c * 4 * inner,
+            bytes_accessed=2 * rp * c * x.dtype.itemsize,
+            transcendentals=rp * inner,
+        ),
+        interpret=interpret,
+    )(x, ls, lb, w1, b1, w2, b2)
+    return out[:r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_geglu(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r, interpret):
+    return _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
+                        interpret)
+
+
+def _ln_geglu_fwd(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
+                  interpret):
+    out = _ln_geglu(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
+                    interpret)
+    return out, (x, ls, lb, w1, b1, w2, b2)
+
+
+def _ln_geglu_bwd(eps, residual, block_r, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _ln_ref_fp32(*a, eps, residual), *res)
+    grads = vjp(g.astype(jnp.float32))
+    return tuple(gr.astype(r.dtype) for gr, r in zip(grads, res))
+
+
+_ln_geglu.defvjp(_ln_geglu_fwd, _ln_geglu_bwd)
+
+
+def fused_ln_geglu(
+    x: jnp.ndarray,    # (R, C) PRE-norm token rows
+    ln_scale: jnp.ndarray,   # (C,)
+    ln_bias: jnp.ndarray,    # (C,)
+    w1: jnp.ndarray,   # (C, 2*inner)
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,   # (inner, C)
+    b2: jnp.ndarray,
+    eps: float = 1e-5,
+    residual: bool = True,
+    block_r: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """LayerNorm → GEGLU FF → (+x), one HBM read and one write."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_r is None:
+        block_r = 1024
+    return _ln_geglu(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, residual,
+                     block_r, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

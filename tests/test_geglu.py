@@ -47,3 +47,50 @@ def test_gradients_match_reference():
     for a, b in zip(gr, gk):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_ln_geglu_residual_matches_reference():
+    from followyourclick_tpu.ops.geglu import _ln_ref_fp32, fused_ln_geglu
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 7)
+    c, inner, rows = 64, 256, 100
+    args = (jax.random.normal(ks[0], (rows, c)) * 2.0 + 1.0,
+            jax.random.normal(ks[1], (c,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (c,)) * 0.1,
+            jax.random.normal(ks[3], (c, 2 * inner)) * 0.05,
+            jax.random.normal(ks[4], (2 * inner,)) * 0.05,
+            jax.random.normal(ks[5], (inner, c)) * 0.05,
+            jax.random.normal(ks[6], (c,)) * 0.05)
+    for residual in (True, False):
+        ref = _ln_ref_fp32(*args, 1e-5, residual)
+        got = fused_ln_geglu(*args, eps=1e-5, residual=residual,
+                             block_r=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_ln_geglu_gradients():
+    from followyourclick_tpu.ops.geglu import _ln_ref_fp32, fused_ln_geglu
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    c, inner, rows = 32, 64, 16
+    args = (jax.random.normal(ks[0], (rows, c)),
+            jax.random.normal(ks[1], (c,)) * 0.1 + 1.0,
+            jax.random.normal(ks[2], (c,)) * 0.1,
+            jax.random.normal(ks[3], (c, 2 * inner)) * 0.1,
+            jax.random.normal(ks[4], (2 * inner,)) * 0.1,
+            jax.random.normal(ks[5], (inner, c)) * 0.1,
+            jax.random.normal(ks[6], (c,)) * 0.1)
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_ln_ref_fp32(*a, 1e-5, True)))
+
+    def loss_kernel(*a):
+        return jnp.sum(jnp.sin(fused_ln_geglu(
+            *a, eps=1e-5, residual=True, block_r=8, interpret=True)))
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    gk = jax.grad(loss_kernel, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4)
