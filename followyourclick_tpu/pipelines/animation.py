@@ -582,6 +582,19 @@ class AnimationPipeline:
         return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0).astype(jnp.float32)
 
     # ------------------------------------------------------------------
+    def _dp(self, x):
+        """Pin the clip axis to the mesh's data axis (batched serving,
+        BASELINE config 5). Params sharded via parallel.sharding.shard_params
+        drive the TP partitioning; this constraint anchors DP so GSPMD
+        propagates batch sharding through the denoise scan."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("spec",))
     def _sample_jit(self, params, input_ids, neg_input_ids, rng, spec,
                     first_image_latents=None, mask=None, fps=None,
@@ -610,6 +623,7 @@ class AnimationPipeline:
             noise_rng, b, spec,
             init_latents=(first_image_latents
                           if spec.use_first_image_as_init_latents else None))
+        latents = self._dp(latents)
         latents = self.denoise(
             params, latents, context, spec,
             first_image_latents=first_image_latents, mask=mask,

@@ -85,3 +85,93 @@ def test_train_step_sharded(tiny_setup):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_sampler_sharded_serving_matches_single_device():
+    """Batched serving (BASELINE config 5): the full sampler under a
+    data=4 x model=2 mesh — params TP-sharded, clips DP-sharded via the
+    pipeline's with_sharding_constraint — reproduces the single-device
+    videos."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.config import (
+        CLIPTextConfig,
+        InferenceConfig,
+        MotionModuleConfig,
+        UNet3DConfig,
+        VAEConfig,
+    )
+    from followyourclick_tpu.models.unet3d import UNetConditioning
+    from followyourclick_tpu.parallel.mesh import create_mesh
+    from followyourclick_tpu.parallel.sharding import shard_params
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    class FakeTokenizer:
+        model_max_length = 77
+
+        def __call__(self, texts, padding=None, max_length=None,
+                     truncation=False, return_tensors="np"):
+            ids = np.zeros((len(texts), 77), dtype=np.int64)
+            for i, t in enumerate(texts):
+                rs = np.random.RandomState(abs(hash(t)) % (2 ** 31))
+                ids[i] = rs.randint(0, 1000, size=77)
+            return types.SimpleNamespace(input_ids=ids)
+
+    cfg = InferenceConfig(
+        unet=UNet3DConfig(
+            sample_size=32, cross_attention_dim=768, attention_head_dim=8,
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            norm_num_groups=8,
+            motion_module=MotionModuleConfig(num_attention_heads=4),
+            use_fps_condition=True,
+            use_first_frame_mask_condition_concat=True),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64),
+                      layers_per_block=1, norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+
+    def build(mesh=None):
+        pipe = AnimationPipeline(cfg, None, None, None,
+                                 tokenizer=FakeTokenizer(), mesh=mesh)
+        ids = jnp.zeros((1, 77), jnp.int32)
+        sample = jnp.zeros((2, 2, 8, 8, 9))
+        cond = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                                fps=jnp.full((2,), 8.0),
+                                motion_score=jnp.full((2,), 20.0))
+        pipe.params = {
+            "unet": pipe.unet.init(rng, sample, jnp.zeros((2,), jnp.int32),
+                                   cond)["params"],
+            "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)),
+                                 rng)["params"],
+            "text_encoder": pipe.text_encoder.init(
+                rng, ids)["params"],
+        }
+        return pipe
+
+    prompts = [f"prompt {i}" for i in range(4)]  # 4 clips, DP axis = 4
+    spec = SampleSpec(video_length=2, height=64, width=64,
+                      num_inference_steps=3, guidance_scale=7.5)
+    first = jnp.zeros((4, 8, 8, 4))
+    mask = jnp.ones((4, 8, 8, 1))
+
+    ref_pipe = build()
+    ref = ref_pipe(prompts, spec=spec, first_image_latents=first,
+                   mask=mask, seed=0)
+
+    mesh = create_mesh(data=4, model=2)
+    with mesh:
+        pipe = build(mesh=mesh)
+        pipe.params = shard_params(pipe.params, mesh)
+        video = pipe(prompts, spec=spec, first_image_latents=first,
+                     mask=mask, seed=0)
+
+    assert video.shape == ref.shape
+    np.testing.assert_allclose(video, ref, atol=2e-4, rtol=2e-4)
