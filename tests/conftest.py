@@ -20,9 +20,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache_growth():
+    """Drop JAX's in-process executable caches between test modules.
+
+    The suite compiles hundreds of XLA:CPU programs (pipeline scans, PAB
+    step variants, oracle comparisons); letting them accumulate in one
+    process has produced allocator pressure deep into the run (observed: a
+    segfault inside a late compile that reproduces clean in isolation).
+    Cross-module cache reuse is negligible, so clearing at module teardown
+    costs nothing."""
+    yield
+    jax.clear_caches()
+    gc.collect()
