@@ -23,9 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from followyourclick_tpu.config import MotionModuleConfig
-from followyourclick_tpu.models.attention import (GEGLUFeedForward,
-                                                  _layer_norm,
-                                                  _ln_ff_residual)
+from followyourclick_tpu.models.attention import _layer_norm, _ln_ff_residual
 from followyourclick_tpu.models.layers import GroupNorm, temporal_positional_encoding
 from followyourclick_tpu.models.pab import PabMode, pab_site
 from followyourclick_tpu.models.rope import apply_rope, rope_tables

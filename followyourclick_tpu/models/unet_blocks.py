@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from followyourclick_tpu.config import MotionModuleConfig, UNet3DConfig
+from followyourclick_tpu.config import UNet3DConfig
 from followyourclick_tpu.models.attention import SpatialTransformer3D
 from followyourclick_tpu.models.motion_module import MotionModule
 from followyourclick_tpu.models.pab import PabMode
