@@ -36,6 +36,10 @@ class LoopConfig:
     # (use_temporal_multi_scale_training in the reference config)
     temporal_multi_scale: bool = True
     min_frames: int = 8
+    # validation sampling cadence (reference `validation_steps` +
+    # `validation_steps_tuple`: extra one-off validation points early on)
+    validation_steps: int = 0  # 0 = no periodic validation
+    validation_steps_tuple: tuple = ()
 
 
 def make_checkpoint_manager(directory: str, keep: int = 5):
@@ -91,9 +95,16 @@ def train_loop(
     cfg: LoopConfig,
     rng: Optional[jax.Array] = None,
     on_log: Optional[Callable] = None,
+    validation_fn: Optional[Callable] = None,
 ):
     """Run the loop; returns the final state. ``step_fn(state, batch, rng)``
-    must be the jitted sharded train step."""
+    must be the jitted sharded train step.
+
+    ``validation_fn(step, params)`` (if given) is called at every
+    ``cfg.validation_steps`` interval and at each step in
+    ``cfg.validation_steps_tuple`` — the reference config's validation
+    sampling schedule (its prompts/guidance live with the caller, which
+    typically wraps an ``AnimationPipeline`` around the current params)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     manager = make_checkpoint_manager(
@@ -124,5 +135,10 @@ def train_loop(
                 on_log(step + 1, metrics)
         if (step + 1) % cfg.checkpointing_steps == 0:
             save_checkpoint(manager, step + 1, state)
+        if validation_fn is not None and (
+                (cfg.validation_steps and
+                 (step + 1) % cfg.validation_steps == 0)
+                or (step + 1) in cfg.validation_steps_tuple):
+            validation_fn(step + 1, state.params)
     manager.wait_until_finished()
     return state

@@ -49,6 +49,12 @@ class TrainConfig:
     # mask-corruption rates for the first-frame conditioning latent
     mask_corruption_rates: Sequence[float] = (0.0, 0.3, 0.5, 0.7)
     gradient_checkpointing: bool = True
+    # reference `use_spatial_temporal_separate_lr` ("if true, all parameters
+    # train"): ALL params become trainable, with the temporal (motion-module)
+    # group on its own learning rate and everything else (spatial) on
+    # `spatial_learning_rate` (falls back to `learning_rate`)
+    use_spatial_temporal_separate_lr: bool = False
+    spatial_learning_rate: Optional[float] = None
 
 
 @flax.struct.dataclass
@@ -81,17 +87,30 @@ def trainable_mask(params: dict, prefixes: Sequence[str]) -> dict:
 
 
 def create_train_state(params: dict, cfg: TrainConfig) -> TrainState:
-    mask = trainable_mask(params, tuple(cfg.trainable_modules))
-    labels = jax.tree_util.tree_map(
-        lambda m: "train" if m else "freeze", mask)
+    def adamw(lr):
+        return optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+
+    if cfg.use_spatial_temporal_separate_lr:
+        # all parameters train; motion modules (temporal) get
+        # `learning_rate`, the rest (spatial) `spatial_learning_rate`
+        temporal = trainable_mask(params, ("motion_modules",))
+        labels = jax.tree_util.tree_map(
+            lambda m: "temporal" if m else "spatial", temporal)
+        spatial_lr = (cfg.spatial_learning_rate
+                      if cfg.spatial_learning_rate is not None
+                      else cfg.learning_rate)
+        groups = {"temporal": adamw(cfg.learning_rate),
+                  "spatial": adamw(spatial_lr)}
+    else:
+        mask = trainable_mask(params, tuple(cfg.trainable_modules))
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask)
+        groups = {"train": adamw(cfg.learning_rate),
+                  "freeze": optax.set_to_zero()}
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.multi_transform(
-            {"train": optax.adamw(cfg.learning_rate, b1=cfg.adam_beta1,
-                                  b2=cfg.adam_beta2, eps=cfg.adam_eps,
-                                  weight_decay=cfg.weight_decay),
-             "freeze": optax.set_to_zero()},
-            labels),
+        optax.multi_transform(groups, labels),
     )
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx)

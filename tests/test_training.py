@@ -139,3 +139,78 @@ def test_loss_decreases_over_steps(setup):
                                  jax.random.PRNGKey(42))  # fixed noise
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_separate_lr_trains_all_params(setup):
+    """use_spatial_temporal_separate_lr: every param group trains; with the
+    spatial LR set to 0 only the motion (temporal) params move."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.training.train_step import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    tc = TrainConfig(learning_rate=1e-3, spatial_learning_rate=0.0,
+                     use_spatial_temporal_separate_lr=True,
+                     gradient_checkpointing=False)
+    state = create_train_state(setup["state"].params, tc)
+    new_state, _ = train_step(
+        state, setup["batch"], jax.random.PRNGKey(0), unet=setup["unet"],
+        text_encoder=setup["text"], text_params=setup["text_params"],
+        sched=setup["sched"], cfg=tc)
+
+    def changed(a, b):
+        return bool(jnp.any(a != b))
+
+    moved_temporal = moved_spatial = 0
+    flat_old = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    for (path, old), (_, new) in zip(flat_old, flat_new):
+        is_temporal = any("motion_modules" in str(k) for k in path)
+        if changed(old, new):
+            if is_temporal:
+                moved_temporal += 1
+            else:
+                moved_spatial += 1
+    assert moved_temporal > 0
+    # adamw(lr=0) produces exactly zero updates -> spatial params frozen
+    assert moved_spatial == 0
+
+
+def test_validation_schedule():
+    """validation_fn fires at validation_steps intervals and at the one-off
+    steps in validation_steps_tuple (reference validation_steps_tuple)."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.training.loop import LoopConfig, train_loop
+
+    calls = []
+
+    class DummyState:
+        params = {"w": jnp.zeros(())}
+        step = jnp.zeros((), jnp.int32)
+        opt_state = ()
+
+        def replace(self, **kw):
+            return self
+
+    def step_fn(state, batch, rng):
+        return state, {"loss": jnp.zeros(())}
+
+    def data():
+        while True:
+            yield None
+
+    cfg = LoopConfig(max_train_steps=6, checkpointing_steps=100,
+                     log_every=100, need_resume=False,
+                     temporal_multi_scale=False,
+                     validation_steps=3, validation_steps_tuple=(1,),
+                     output_dir="/tmp/test_val_sched")
+    train_loop(DummyState(), data(), step_fn, cfg,
+               rng=jax.random.PRNGKey(0),
+               validation_fn=lambda step, params: calls.append(step))
+    assert calls == [1, 3, 6]
