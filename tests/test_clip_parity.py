@@ -4,6 +4,8 @@ reference's text tower, scripts/inference.py:153)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.config import CLIPTextConfig
 from followyourclick_tpu.models.clip_text import CLIPTextModel
 from followyourclick_tpu.utils.convert import audit_params, convert_clip_text_state_dict

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.flow import (
     RAFT,
     RAFTConfig,

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.flow import flow_io
 from followyourclick_tpu.flow.datasets import (
     FlyingChairs,

@@ -1,5 +1,9 @@
 """FlowNet2 full-stack tests (CSS + SD + fusion)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,8 @@ CLIP-vision tower vs transformers, and the positional ip-weight graft."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
 import jax
 import jax.numpy as jnp
 

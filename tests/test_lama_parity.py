@@ -7,6 +7,8 @@ import importlib.machinery
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.inpaint.lama import FFCResNetGenerator, LamaConfig
 from followyourclick_tpu.inpaint.losses import (
     NLayerDiscriminator,

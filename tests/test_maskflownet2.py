@@ -1,5 +1,9 @@
 """Full two-stage MaskFlowNet test."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 import numpy as np
 import jax
 

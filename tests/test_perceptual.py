@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 torch = pytest.importorskip("torch")
 
 from followyourclick_tpu.inpaint.perceptual import (  # noqa: E402

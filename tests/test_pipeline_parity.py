@@ -11,6 +11,8 @@ noise sampling (RNGs differ by design; prepare_latents has its own tests).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.config import (
     CLIPTextConfig,
     InferenceConfig,

@@ -11,6 +11,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.config import (
     CLIPTextConfig,
     InferenceConfig,

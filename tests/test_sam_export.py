@@ -4,6 +4,8 @@ segment_anything/utils/onnx.py → sam/export.py StableHLO artifact)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ forward matches single-device, and the sharded training step runs."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

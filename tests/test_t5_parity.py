@@ -1,6 +1,10 @@
 """Golden parity: T5 encoder vs HF T5EncoderModel (the reference's optional
 second text tower, pipeline_animation.py:44-123)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 import numpy as np
 
 

@@ -4,6 +4,8 @@ loss decreases on a fixed batch, conditioning corruption applies."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def setup():

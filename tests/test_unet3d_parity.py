@@ -8,6 +8,8 @@ any layout/mapping mistake shows up as output mismatch.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.config import MotionModuleConfig, UNet3DConfig
 from followyourclick_tpu.models.unet3d import UNet3DConditionModel, UNetConditioning
 from followyourclick_tpu.utils.convert import audit_params, convert_unet3d_state_dict

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/compile-heavy (deselect via -m 'not slow')
+
 from followyourclick_tpu.config import VAEConfig
 from followyourclick_tpu.models.vae import AutoencoderKL
 from followyourclick_tpu.utils.convert import audit_params, convert_vae_state_dict
