@@ -117,6 +117,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="PAB-style attention reuse: refresh attention "
                         "outputs every k-th step (composes with "
                         "--cfg_cache_interval)")
+    p.add_argument("--pab_warmup_steps", type=int, default=0,
+                   help="exact full-compute steps before PAB reuse starts")
     return p
 
 
@@ -208,7 +210,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 cfg_cache_interval=args.cfg_cache_interval,
                 pab_spatial_interval=args.pab_interval,
                 pab_cross_interval=args.pab_interval,
-                pab_temporal_interval=args.pab_interval)
+                pab_temporal_interval=args.pab_interval,
+                pab_warmup_steps=args.pab_warmup_steps)
 
             seeds = mc.get("seed", [args.seed])
             if not isinstance(seeds, list):

@@ -69,6 +69,9 @@ class SampleSpec:
     pab_cross_interval: int = flax.struct.field(pytree_node=False, default=1)
     pab_temporal_interval: int = flax.struct.field(pytree_node=False,
                                                   default=1)
+    # exact full-compute steps before the reuse schedule starts (early
+    # denoise steps set global structure; PAB-family methods keep them exact)
+    pab_warmup_steps: int = flax.struct.field(pytree_node=False, default=0)
 
 
 class AnimationPipeline:
@@ -523,8 +526,14 @@ class AnimationPipeline:
         # with CFG caching composed in, keep the last two steps exact
         # (mirrors the exact path's `i >= S - 2` recompute guard)
         scan_steps = max(S - 2, 0) if cfg_k > 1 else S
-        n_periods = scan_steps // period
-        tail = S - n_periods * period
+        warmup = min(max(0, spec.pab_warmup_steps), S)
+        n_periods = max(scan_steps - warmup, 0) // period
+        tail = S - warmup - n_periods * period
+
+        cache, uncond = cache0, uncond0
+        for j in range(warmup):  # exact full-compute warmup steps
+            latents, cache, uncond = pab_step(latents, cache, uncond,
+                                              jnp.asarray(j), 0)
 
         def period_body(carry, ip):
             latents, cache, uncond = carry
@@ -534,12 +543,12 @@ class AnimationPipeline:
             return (latents, cache, uncond), ()
 
         (latents, cache, uncond), _ = jax.lax.scan(
-            period_body, (latents, cache0, uncond0),
-            jnp.arange(n_periods) * period)
+            period_body, (latents, cache, uncond),
+            warmup + jnp.arange(n_periods) * period)
         for j in range(tail):  # leftover steps: exact full compute
             latents, cache, uncond = pab_step(
                 latents, cache, uncond,
-                jnp.asarray(n_periods * period + j), 0)
+                jnp.asarray(warmup + n_periods * period + j), 0)
         return latents
 
     def decode_latents(self, params, latents: jnp.ndarray,

@@ -234,3 +234,61 @@ def test_pipeline_pab_cfg_composition():
                  mask=mask, seed=0)
     assert video.shape == (1, 2, 64, 64, 3)
     assert np.isfinite(video).all()
+
+
+def test_pab_warmup_full_equals_exact():
+    """pab_warmup_steps >= num_inference_steps makes every step a
+    full-compute record step — the result must match the exact scan path."""
+    import types
+
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    class FakeTokenizer:
+        model_max_length = 77
+
+        def __call__(self, texts, padding=None, max_length=None,
+                     truncation=False, return_tensors="np"):
+            ids = np.zeros((len(texts), 77), dtype=np.int64)
+            for i, t in enumerate(texts):
+                rs = np.random.RandomState(abs(hash(t)) % (2 ** 31))
+                ids[i] = rs.randint(0, 1000, size=77)
+            return types.SimpleNamespace(input_ids=ids)
+
+    cfg = InferenceConfig(
+        unet=tiny_cfg(),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+    pipe = AnimationPipeline(cfg, None, None, None, tokenizer=FakeTokenizer())
+    ids = jnp.zeros((1, 77), jnp.int32)
+    sample = jnp.zeros((2, 2, 8, 8, 9))
+    cond = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                            fps=jnp.full((2,), 8.0),
+                            motion_score=jnp.full((2,), 20.0))
+    pipe.params = {
+        "unet": pipe.unet.init(rng, sample, jnp.zeros((2,), jnp.int32),
+                               cond)["params"],
+        "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"],
+        "text_encoder": pipe.text_encoder.init(rng, ids)["params"],
+    }
+    first = jnp.zeros((1, 8, 8, 4))
+    mask = jnp.ones((1, 8, 8, 1))
+
+    exact_spec = SampleSpec(video_length=2, height=64, width=64,
+                            num_inference_steps=3, guidance_scale=7.5)
+    ref = pipe(["p"], spec=exact_spec, first_image_latents=first,
+               mask=mask, seed=0)
+
+    warm_spec = exact_spec.replace(pab_spatial_interval=2,
+                                   pab_cross_interval=2,
+                                   pab_temporal_interval=2,
+                                   pab_warmup_steps=3)
+    got = pipe(["p"], spec=warm_spec, first_image_latents=first,
+               mask=mask, seed=0)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
