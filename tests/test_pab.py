@@ -292,3 +292,30 @@ def test_pab_warmup_full_equals_exact():
     got = pipe(["p"], spec=warm_spec, first_image_latents=first,
                mask=mask, seed=0)
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_decode_latents_chunked_matches_batched():
+    """frame_chunk>0 (the rematerialized scanned decode for memory-bound
+    shapes) must reproduce the default one-batch decode."""
+    from followyourclick_tpu.models.vae import AutoencoderKL
+    from followyourclick_tpu.config import VAEConfig
+    from followyourclick_tpu.pipelines.animation import AnimationPipeline
+
+    cfg = InferenceConfig(
+        unet=tiny_cfg(),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    pipe = AnimationPipeline(cfg, None, None, None)
+    rng = jax.random.PRNGKey(0)
+    pipe.params = {"vae": pipe.vae.init(
+        rng, jnp.zeros((1, 64, 64, 3)), rng)["params"]}
+
+    lat = jax.random.normal(rng, (2, 3, 8, 8, 4)) * 0.5
+    batched = pipe.decode_latents(pipe.params, lat)            # one batch
+    for chunk in (1, 2, 3):
+        scanned = pipe.decode_latents(pipe.params, lat, frame_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(scanned), np.asarray(batched),
+                                   atol=1e-5, rtol=1e-5)
