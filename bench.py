@@ -1,4 +1,4 @@
-"""Benchmark harness — prints ONE JSON line with the driver metric.
+"""Benchmark harness — prints the driver metric as a JSON line.
 
 Workload (BASELINE.md): one 16-frame 512×512 clip, 25 DDIM steps, CFG on
 (2× UNet evals/step), bf16, single chip — measured through the SHIPPED
@@ -6,10 +6,25 @@ pipeline entry (``AnimationPipeline._sample_jit``: CLIP text encode → fused
 denoise scan with the 9-channel mask concat → frame-scanned VAE decode), so
 any pipeline regression shows up in the driver metric.
 
-The headline ``value`` is exact math (reference-parity CFG). The same JSON
-line also reports the opt-in serving approximation (cfg_cache_interval=3,
-the CFG-uncond caching family of Pyramid Attention Broadcast) as
-``optin_*`` fields — NOT reference behavior, off by default in the pipeline.
+Output protocol: the EXACT-math headline config is measured FIRST and its
+JSON line is printed and flushed immediately — a driver timeout during the
+later opt-in variants can no longer destroy the round's perf number
+(round-2 failure mode: all four configs measured serially, single print at
+the end, rc=124). Each opt-in variant that completes within the wall-clock
+budget re-emits an UPDATED full JSON line; consumers should take the LAST
+parseable line.
+
+The headline ``value`` is exact math (reference-parity CFG). Opt-in serving
+approximations (cfg-uncond caching, Pyramid Attention Broadcast) are
+reported as ``optin_*`` fields — NOT reference behavior, off by default in
+the pipeline. Cold compiles of the PAB/stacked step-variant graphs cost
+8–16 min each through the remote-compile relay (docs/PERF.md), so:
+  - each opt-in variant runs only if elapsed time leaves room in the budget
+    (``FYC_BENCH_BUDGET_S``, default 1500 s; skipped ones are recorded in
+    ``optin_skipped``);
+  - the most compile-heavy variant (PAB-2 ∘ cfg_cache4 stacked schedule) is
+    excluded from the default run entirely — set ``FYC_BENCH_FULL=1`` to
+    include it.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 ``published: {}``). We compare against an estimated PyTorch+xformers A100
@@ -20,6 +35,9 @@ figure for the same workload: ~15 s/clip → ~1.07 frames/s (50 UNet fwd at
 from __future__ import annotations
 
 import json
+import math
+import os
+import sys
 import time
 
 import jax
@@ -90,17 +108,26 @@ def time_spec(pipe, spec, b, n_iters):
         # whose block_until_ready does not actually block
         return jnp.sum(video)
 
-    float(run(pipe.params, ids, neg_ids, jax.random.PRNGKey(0)))  # compile
+    checksum = float(run(pipe.params, ids, neg_ids,
+                         jax.random.PRNGKey(0)))  # compile
+    # zero-param pipeline still must produce finite output — a NaN-producing
+    # perf regression must not bench as a win (VERDICT r02 weak #6)
+    assert math.isfinite(checksum), f"non-finite checksum: {checksum}"
     times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
-        float(run(pipe.params, ids, neg_ids, jax.random.PRNGKey(i + 1)))
+        c = float(run(pipe.params, ids, neg_ids, jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        assert math.isfinite(c), f"non-finite checksum (iter {i}): {c}"
+    return float(np.median(times)), checksum
 
 
 def main():
     from followyourclick_tpu.pipelines.animation import SampleSpec
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("FYC_BENCH_BUDGET_S", "1500"))
+    full = os.environ.get("FYC_BENCH_FULL", "") not in ("", "0")
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -115,46 +142,62 @@ def main():
                       num_inference_steps=steps, guidance_scale=8.0,
                       use_interpolate_noise=True)
 
-    p50 = time_spec(pipe, spec, b, n_iters)
+    # ── EXACT headline first; flush its JSON line before anything else ──
+    p50, checksum = time_spec(pipe, spec, b, n_iters)
     fps = frames * b / p50
 
-    # opt-in serving approximation A: recompute the CFG uncond branch every
-    # 3rd step (SampleSpec.cfg_cache_interval; NOT reference behavior)
-    optin_spec = spec.replace(cfg_cache_interval=3)
-    optin_p50 = time_spec(pipe, optin_spec, b, n_iters)
-    optin_fps = frames * b / optin_p50
-
-    # opt-in serving approximation B: PAB-style attention reuse — refresh
-    # every attention kind every 2nd step (SampleSpec.pab_*_interval; NOT
-    # reference behavior). A uniform interval keeps the period — and with it
-    # the number of distinct UNet step-variant graphs XLA compiles — at 2.
-    pab_spec = spec.replace(pab_spatial_interval=2, pab_temporal_interval=2,
-                            pab_cross_interval=2)
-    pab_p50 = time_spec(pipe, pab_spec, b, n_iters)
-    pab_fps = frames * b / pab_p50
-
-    # opt-in serving approximation C: PAB composed with static CFG-uncond
-    # caching — cond-half-only UNet steps between uncond refreshes
-    # (period-4 schedule: full / half+reuse / half+compute / half+reuse)
-    stack_spec = pab_spec.replace(cfg_cache_interval=4)
-    stack_p50 = time_spec(pipe, stack_spec, b, n_iters)
-    stack_fps = frames * b / stack_p50
-
-    print(json.dumps({
+    result = {
         "metric": "frames_per_sec_per_chip_16f_512px_25step",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
         "p50_clip_latency_s": round(p50, 3),
-        "optin_cfg_cache3_fps": round(optin_fps, 3),
-        "optin_cfg_cache3_p50_s": round(optin_p50, 3),
-        "optin_pab_222_fps": round(pab_fps, 3),
-        "optin_pab_222_p50_s": round(pab_p50, 3),
-        "optin_pab2_cfg4_fps": round(stack_fps, 3),
-        "optin_pab2_cfg4_p50_s": round(stack_p50, 3),
+        "checksum": checksum,
         "workload": f"{frames}f_{height}px_{steps}steps_cfg",
         "backend": jax.default_backend(),
-    }))
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    emit()  # ← the round's perf number is now on stdout, whatever happens
+
+    # ── opt-in serving approximations, each under the wall-clock budget ──
+    # (quality bounds for these schedules: tests/test_pab.py + docs/PERF.md)
+    variants = [
+        # (key, spec, iters) — cheapest compile first
+        ("cfg_cache3", spec.replace(cfg_cache_interval=3), n_iters),
+        ("pab_222", spec.replace(pab_spatial_interval=2,
+                                 pab_temporal_interval=2,
+                                 pab_cross_interval=2), n_iters),
+    ]
+    if full:
+        variants.append(
+            ("pab2_cfg4", spec.replace(pab_spatial_interval=2,
+                                       pab_temporal_interval=2,
+                                       pab_cross_interval=2,
+                                       cfg_cache_interval=4), n_iters))
+    else:
+        result["optin_skipped"] = ["pab2_cfg4 (FYC_BENCH_FULL unset)"]
+
+    for key, vspec, it in variants:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget_s:
+            result.setdefault("optin_skipped", []).append(
+                f"{key} (budget: {elapsed:.0f}s > {budget_s:.0f}s)")
+            emit()
+            continue
+        try:
+            vp50, _ = time_spec(pipe, vspec, b, it)
+        except Exception as e:  # an opt-in failure must not kill the headline
+            result.setdefault("optin_skipped", []).append(
+                f"{key} (error: {type(e).__name__})")
+            print(f"# optin {key} failed: {e}", file=sys.stderr, flush=True)
+            emit()
+            continue
+        result[f"optin_{key}_fps"] = round(frames * b / vp50, 3)
+        result[f"optin_{key}_p50_s"] = round(vp50, 3)
+        emit()
 
 
 if __name__ == "__main__":

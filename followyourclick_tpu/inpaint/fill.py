@@ -86,6 +86,7 @@ def replace_anything(
     pipeline: InpaintPipeline,
     seed: int = 0,
     steps: int = 25,
+    target_size: int = 512,
 ) -> List[dict]:
     """replace_anything.py: click → SAM masks → replace the background."""
     masks, scores, _ = predict_masks_with_sam(
@@ -97,7 +98,8 @@ def replace_anything(
             "mask": masks[i],
             "score": float(scores[i]),
             "replaced": replace_img_with_sd(img, masks[i], prompt, pipeline,
-                                            seed=seed, steps=steps),
+                                            seed=seed, steps=steps,
+                                            target_size=target_size),
         }
         for i in range(masks.shape[0])
     ]
