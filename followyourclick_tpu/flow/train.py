@@ -37,11 +37,24 @@ class FlowTrainConfig:
     eps: float = 1e-8
     total_steps: int = 100100
     pct_start: float = 0.05       # OneCycle linear warmup fraction
-    grad_clip_norm: float = 1.0
+    grad_clip_norm: float = 1.0   # 0 disables clipping (grad_clip=None cfgs)
     gamma: float = 0.8            # SequenceLoss decay
     max_flow: float = 400.0
     iters: int = 12
     checkpoint_every: int = 2000
+    # Non-RAFT families (mmflow ``_base_/schedules/schedule_s_{long,fine,
+    # short}.py``) train with torch Adam (L2-in-gradient weight decay, not
+    # decoupled) and a milestone step-decay LR policy:
+    optimizer: str = "adamw"      # "adamw" | "adam" (L2 regularization)
+    lr_policy: str = "onecycle"   # "onecycle" | "step"
+    lr_milestones: Tuple[int, ...] = ()   # step policy decay boundaries
+    lr_gamma: float = 0.5                 # step policy decay factor
+
+    def __post_init__(self):
+        # YAML round-trip: lists arrive where hashable tuples are required
+        # (the config is a static jit argument)
+        object.__setattr__(self, "betas", tuple(self.betas))
+        object.__setattr__(self, "lr_milestones", tuple(self.lr_milestones))
 
 
 def onecycle_linear(cfg: FlowTrainConfig) -> optax.Schedule:
@@ -57,14 +70,36 @@ def onecycle_linear(cfg: FlowTrainConfig) -> optax.Schedule:
     )
 
 
+def make_schedule(cfg: FlowTrainConfig) -> optax.Schedule:
+    if cfg.lr_policy == "step":
+        # mmcv StepLrUpdaterHook: lr · gamma^(#milestones passed)
+        return optax.piecewise_constant_schedule(
+            cfg.lr, {int(m): cfg.lr_gamma for m in cfg.lr_milestones})
+    assert cfg.lr_policy == "onecycle", cfg.lr_policy
+    return onecycle_linear(cfg)
+
+
 def make_optimizer(cfg: FlowTrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(
-            onecycle_linear(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
+    sched = make_schedule(cfg)
+    if cfg.optimizer == "adam":
+        # torch Adam semantics: weight decay folded into the gradient
+        # BEFORE the moment estimates (L2), not decoupled
+        core = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                                eps=cfg.eps),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        assert cfg.optimizer == "adamw", cfg.optimizer
+        core = optax.adamw(
+            sched, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=cfg.eps, weight_decay=cfg.weight_decay,
-        ),
-    )
+        )
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), core)
+    return core
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
