@@ -149,8 +149,9 @@ def euler_ancestral_step(
 class PNDMState:
     ets: jnp.ndarray         # (4, *sample_shape) newest-last ring
     num_ets: jnp.ndarray     # scalar int32
-    cur_sample: jnp.ndarray  # sample stashed at counter==0
+    cur_sample: jnp.ndarray  # sample stashed at counter==0 / RK group start
     counter: jnp.ndarray     # scalar int32
+    cur_model_output: jnp.ndarray  # RK accumulator (PRK warmup only)
 
 
 @flax.struct.dataclass
@@ -160,24 +161,44 @@ class PNDMSchedule:
     timesteps: jnp.ndarray   # (S+1,) int32 — second timestep duplicated
     step_ratio: int = flax.struct.field(pytree_node=False, default=1)
     prediction_type: str = flax.struct.field(pytree_node=False, default="epsilon")
+    # number of leading Runge-Kutta warmup model calls (skip_prk_steps=False
+    # grid: 3 RK4 groups x 4 evals = 12; the released SD configs all use the
+    # skip_prk_steps=True PLMS grid, where this is 0)
+    num_prk_steps: int = flax.struct.field(pytree_node=False, default=0)
 
     @classmethod
     def create(
-        cls, cfg: NoiseScheduleConfig, num_inference_steps: int
+        cls, cfg: NoiseScheduleConfig, num_inference_steps: int,
+        skip_prk_steps: bool = True,
     ) -> "PNDMSchedule":
         """skip_prk_steps=True grid (pndm set_timesteps :160-176): the PLMS
-        warmup re-uses the second timestep, so there are S+1 model calls."""
+        warmup re-uses the second timestep, so there are S+1 model calls.
+
+        skip_prk_steps=False grid (:177-186): the last ``pndm_order``=4
+        timesteps are refined on a half-``ratio`` sub-grid into 12 PRK
+        entries (3 Runge-Kutta-4 groups), then PLMS continues from
+        ``timesteps[:-3]`` — S+9 model calls total.
+        """
         ac = _alphas_cumprod(cfg)
         ratio = cfg.num_train_timesteps // num_inference_steps
         ts = (np.arange(0, num_inference_steps) * ratio).round() + cfg.steps_offset
-        plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1].copy()
+        if skip_prk_steps:
+            grid = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1].copy()
+            n_prk = 0
+        else:
+            prk = np.asarray(ts[-4:]).repeat(2) + np.tile(
+                np.array([0, ratio // 2]), 4)
+            prk = (prk[:-1].repeat(2)[1:-1])[::-1].copy()
+            grid = np.concatenate([prk, ts[:-3][::-1]])
+            n_prk = len(prk)  # 12
         final = 1.0 if cfg.set_alpha_to_one else float(np.asarray(ac)[0])
         return cls(
             alphas_cumprod=ac,
             final_alpha_cumprod=jnp.float32(final),
-            timesteps=jnp.asarray(plms, jnp.int32),
+            timesteps=jnp.asarray(grid, jnp.int32),
             step_ratio=ratio,
             prediction_type=cfg.prediction_type,
+            num_prk_steps=n_prk,
         )
 
     def init_state(self, sample_shape, dtype=jnp.float32) -> PNDMState:
@@ -186,6 +207,7 @@ class PNDMSchedule:
             num_ets=jnp.int32(0),
             cur_sample=jnp.zeros(sample_shape, dtype),
             counter=jnp.int32(0),
+            cur_model_output=jnp.zeros(sample_shape, dtype),
         )
 
 
@@ -212,7 +234,76 @@ def _pndm_prev_sample(sched, sample, t, prev_t, model_output):
     )
 
 
+def _pndm_step_prk(
+    sched: PNDMSchedule,
+    state: PNDMState,
+    model_output: jnp.ndarray,
+    step_index: jnp.ndarray,
+    sample: jnp.ndarray,
+) -> Tuple[jnp.ndarray, PNDMState]:
+    """Runge-Kutta warmup (scheduling_pndm.py step_prk :223-276): groups of
+    4 model calls integrate each of the last 3 coarse intervals on a
+    half-step sub-grid; phase 0 stashes the group's sample and records the
+    raw eval as an ``ets`` entry for the PLMS continuation."""
+    t = sched.timesteps[step_index]
+    counter = state.counter
+    phase = counter % 4
+
+    # prev_timestep = t - (ratio//2 at even counters, 0 at odd) :251-252
+    prev_t = t - jnp.where(counter % 2 == 0, sched.step_ratio // 2, 0)
+    # the integration origin is the group's base timestep :253
+    t_group = sched.timesteps[(counter // 4) * 4]
+
+    append = phase == 0
+    ets = jnp.where(
+        append,
+        jnp.concatenate([state.ets[1:], model_output[None]], axis=0),
+        state.ets,
+    )
+    num_ets = jnp.where(append, jnp.minimum(state.num_ets + 1, 4),
+                        state.num_ets)
+    cur_sample = jnp.where(append, sample, state.cur_sample)
+
+    # RK4 accumulation :255-265 — k1/6 + k2/3 + k3/3 (+ k4/6 on emit)
+    out = jnp.where(phase == 3, state.cur_model_output + model_output / 6,
+                    model_output)
+    cur_mo = jnp.where(
+        phase == 0, state.cur_model_output + model_output / 6,
+        jnp.where(phase == 3, jnp.zeros_like(model_output),
+                  state.cur_model_output + model_output / 3))
+
+    prev_sample = _pndm_prev_sample(sched, cur_sample, t_group, prev_t, out)
+    new_state = PNDMState(
+        ets=ets, num_ets=num_ets, cur_sample=cur_sample,
+        counter=counter + 1, cur_model_output=cur_mo,
+    )
+    return prev_sample, new_state
+
+
 def pndm_step(
+    sched: PNDMSchedule,
+    state: PNDMState,
+    model_output: jnp.ndarray,
+    step_index: jnp.ndarray,
+    sample: jnp.ndarray,
+) -> Tuple[jnp.ndarray, PNDMState]:
+    """PNDM step: RK warmup for the first ``num_prk_steps`` calls (only in
+    skip_prk_steps=False schedules), PLMS multistep after (scheduling_pndm.py
+    step :192-221). ``num_prk_steps`` is static, so the common PLMS-only
+    grid compiles with zero warmup overhead."""
+    if sched.num_prk_steps == 0:
+        return _pndm_step_plms(sched, state, model_output, step_index, sample)
+    prk_sample, prk_state = _pndm_step_prk(
+        sched, state, model_output, step_index, sample)
+    plms_sample, plms_state = _pndm_step_plms(
+        sched, state, model_output, step_index, sample)
+    in_prk = state.counter < sched.num_prk_steps
+    pick = lambda a, b: jnp.where(in_prk, a, b)  # noqa: E731
+    return pick(prk_sample, plms_sample), jax.tree_util.tree_map(
+        pick, prk_state, plms_state)
+
+
+def _pndm_step_plms(
     sched: PNDMSchedule,
     state: PNDMState,
     model_output: jnp.ndarray,
@@ -266,6 +357,7 @@ def pndm_step(
         num_ets=num_ets,
         cur_sample=jnp.where(counter == 0, sample, state.cur_sample),
         counter=counter + 1,
+        cur_model_output=state.cur_model_output,
     )
     return prev_sample, new_state
 

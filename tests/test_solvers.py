@@ -145,6 +145,36 @@ def test_pndm_trajectory_parity(pred):
 
 
 @pytest.mark.parametrize("pred", ["epsilon", "v_prediction"])
+def test_pndm_prk_trajectory_parity(pred):
+    """skip_prk_steps=False: 12 Runge-Kutta warmup calls then PLMS
+    (scheduling_pndm.py step_prk :223-276, grid :177-186)."""
+    ref = PNDMScheduler(
+        **_torch_kwargs(pred), skip_prk_steps=False, steps_offset=1,
+        set_alpha_to_one=False,
+    )
+    ref.set_timesteps(STEPS)
+    x_ref = np.random.RandomState(5).randn(*SHAPE).astype(np.float32)
+    xt = torch.from_numpy(x_ref.copy())
+    for t in ref.timesteps:
+        out = torch.from_numpy(_fake_model(xt.numpy(), float(t)))
+        xt = ref.step(out, t, xt).prev_sample
+
+    sched = PNDMSchedule.create(_cfg(pred), STEPS, skip_prk_steps=False)
+    assert sched.num_prk_steps == 12
+    np.testing.assert_array_equal(
+        np.asarray(sched.timesteps), ref.timesteps.numpy()
+    )
+    # 12 PRK + (S-3) PLMS model calls
+    assert sched.timesteps.shape[0] == 12 + STEPS - 3
+    x = jnp.asarray(x_ref)
+    state = sched.init_state(SHAPE)
+    for i in range(sched.timesteps.shape[0]):
+        out = jnp.asarray(_fake_model(np.asarray(x), float(sched.timesteps[i])))
+        x, state = pndm_step(sched, state, out, i, x)
+    np.testing.assert_allclose(np.asarray(x), xt.numpy(), rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("pred", ["epsilon", "v_prediction"])
 @pytest.mark.parametrize("algo", ["dpmsolver++", "dpmsolver"])
 def test_dpm_solver_trajectory_parity(pred, algo):
     ref = DPMSolverMultistepScheduler(
