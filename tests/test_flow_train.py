@@ -230,3 +230,49 @@ class TestSchedulesAndMixing:
         model, variables = init_model(cfg, image_size=(40, 48))
         out = evaluate(model, variables, ds, iters=2)
         assert "EPE" in out and np.isfinite(out["EPE"])
+
+    def test_evaluate_sharded_matches_single_process(self, chairs_dir):
+        """The multi_gpu_test/DistEvalHook equivalent: device-batched
+        evaluation over the 8-device CPU mesh (3 samples → pad to 8, pad
+        rows masked) reduces to the same metrics as the serial path."""
+        from followyourclick_tpu.flow.api import init_model
+        from followyourclick_tpu.flow.train import evaluate, evaluate_sharded
+        from followyourclick_tpu.parallel.mesh import create_mesh
+
+        ds = FlyingChairs(str(chairs_dir))
+        cfg = RAFTConfig(iters=2, feat_channels=32, h_channels=32,
+                         cxt_channels=32, stem_channels=16,
+                         base_channels=(16, 16, 32))
+        model, variables = init_model(cfg, image_size=(40, 48))
+        serial = evaluate(model, variables, ds, iters=2, metrics=("EPE",))
+        mesh = create_mesh(data=8, model=1)
+        sharded = evaluate_sharded(model, variables, ds, mesh=mesh, iters=2,
+                                   metrics=("EPE", "Fl"))
+        assert sharded["EPE"] == pytest.approx(serial["EPE"], rel=1e-5)
+        assert 0.0 <= sharded["Fl"] <= 100.0
+
+    def test_train_model_dist_eval_hook(self, chairs_dir, tmp_path):
+        """eval_every fires the DistEvalHook role inside the runner loop and
+        reports val/ metrics through log_fn."""
+        from followyourclick_tpu.flow.api import init_model
+        from followyourclick_tpu.flow.datasets import training_batches
+        from followyourclick_tpu.flow.train import (
+            FlowTrainConfig,
+            train_model,
+        )
+
+        ds = FlyingChairs(str(chairs_dir))
+        cfg = RAFTConfig(iters=2, feat_channels=32, h_channels=32,
+                         cxt_channels=32, stem_channels=16,
+                         base_channels=(16, 16, 32))
+        model, variables = init_model(cfg, image_size=(32, 32))
+        logs = []
+        train_model(
+            model, variables,
+            training_batches(ds, 1, crop_size=(32, 32), seed=0),
+            FlowTrainConfig(iters=2, total_steps=2, checkpoint_every=100),
+            work_dir=str(tmp_path), resume=False,
+            log_fn=lambda step, m: logs.append((step, m)),
+            eval_dataset=ds, eval_every=2)
+        val_logs = [m for _, m in logs if any(k.startswith("val/") for k in m)]
+        assert val_logs and np.isfinite(val_logs[-1]["val/EPE"])
