@@ -236,6 +236,72 @@ def test_pipeline_pab_cfg_composition():
     assert np.isfinite(video).all()
 
 
+def test_pab_cfg_composed_schedule_quality_budget():
+    """End-to-end quality budget for the shipped serving schedule
+    (PAB-2 ∘ cfg_cache4) vs the exact sampler at a mid-size shape
+    (8 frames, 128px, 25 steps, real random-init weights): the composed
+    approximation must stay within rel-l2 ≤ 0.15 / PSNR ≥ 22 dB of the
+    exact output, and must actually differ from it (a spec-plumbing break
+    that silently disables the approximation also fails).
+
+    Measured on this workload (docs/PERF.md "Serving quality budget"):
+    rel_l2=0.082, PSNR=26.9 dB; thresholds carry ~2x margin. PAB-family
+    framing: arXiv 2408.12588."""
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    cfg = InferenceConfig(
+        unet=tiny_cfg(),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+    pipe = AnimationPipeline(cfg, None, None, None)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    f, hl = 8, 16  # 8 frames, 128px -> 16x16 latents
+    sample = jnp.zeros((2, f, hl, hl, 9))
+    cond = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                            fps=jnp.full((2,), 8.0),
+                            motion_score=jnp.full((2,), 20.0))
+    pipe.params = {
+        "unet": pipe.unet.init(rng, sample, jnp.zeros((2,), jnp.int32),
+                               cond)["params"],
+        "vae": pipe.vae.init(rng, jnp.zeros((1, 128, 128, 3)), rng)["params"],
+        "text_encoder": pipe.text_encoder.init(rng, ids)["params"],
+    }
+    first = jax.random.normal(jax.random.PRNGKey(7), (1, hl, hl, 4)) * 0.2
+    mask = (jax.random.uniform(jax.random.PRNGKey(8), (1, hl, hl, 1))
+            > 0.5).astype(jnp.float32)
+    prompt_ids = jax.random.randint(jax.random.PRNGKey(9), (1, 77), 0, 1000)
+    neg_ids = jnp.zeros((1, 77), jnp.int32)
+
+    def run(spec):
+        return np.asarray(pipe._sample_jit(
+            pipe.params, prompt_ids, neg_ids, jax.random.PRNGKey(3), spec,
+            first_image_latents=first, mask=mask,
+            fps=jnp.full((1,), 8.0), motion_score=jnp.full((1,), 20.0)))
+
+    base = dict(video_length=f, height=128, width=128,
+                num_inference_steps=25, guidance_scale=8.0,
+                use_interpolate_noise=True)
+    exact = run(SampleSpec(**base))
+    approx = run(SampleSpec(**base, pab_spatial_interval=2,
+                            pab_temporal_interval=2, pab_cross_interval=2,
+                            cfg_cache_interval=4))
+    diff = approx - exact
+    rel_l2 = float(np.linalg.norm(diff) / (np.linalg.norm(exact) + 1e-12))
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(diff ** 2)), 1e-20))
+    assert rel_l2 <= 0.15, f"composed schedule drifted: rel_l2={rel_l2:.4f}"
+    assert psnr >= 22.0, f"composed schedule drifted: psnr={psnr:.2f} dB"
+    # the schedule must be live — identical output means the opt-in
+    # approximation flags silently stopped reaching the sampler
+    assert rel_l2 > 1e-4, "approximation inactive (output identical to exact)"
+
+
 def test_pab_warmup_full_equals_exact():
     """pab_warmup_steps >= num_inference_steps makes every step a
     full-compute record step — the result must match the exact scan path."""
