@@ -119,6 +119,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "--cfg_cache_interval)")
     p.add_argument("--pab_warmup_steps", type=int, default=0,
                    help="exact full-compute steps before PAB reuse starts")
+    p.add_argument("--scheduler", type=str, default="ddim",
+                   help="solver for the denoise scan (ddim | pndm | "
+                        "pndm_prk | euler | euler_a | lms | dpm++ | dpm++3 "
+                        "| dpm) — the reference pipeline's accepted "
+                        "scheduler union, pipeline_animation.py:50-57")
     return p
 
 
@@ -211,7 +216,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 pab_spatial_interval=args.pab_interval,
                 pab_cross_interval=args.pab_interval,
                 pab_temporal_interval=args.pab_interval,
-                pab_warmup_steps=args.pab_warmup_steps)
+                pab_warmup_steps=args.pab_warmup_steps,
+                scheduler=args.scheduler)
 
             seeds = mc.get("seed", [args.seed])
             if not isinstance(seeds, list):

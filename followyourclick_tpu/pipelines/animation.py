@@ -54,6 +54,10 @@ class SampleSpec:
                                                  default=False)
     base_lambda: float = flax.struct.field(pytree_node=False, default=0.9)
     eta: float = flax.struct.field(pytree_node=False, default=0.0)
+    # which solver drives the scan — the reference pipeline accepts any of
+    # DDIM/PNDM/LMS/Euler(-A)/DPM-Solver (pipeline_animation.py:50-57);
+    # see schedulers/dispatch.py for the names
+    scheduler: str = flax.struct.field(pytree_node=False, default="ddim")
     # OPT-IN serving approximation (NOT reference behavior, off by default):
     # recompute the CFG uncond branch only every k-th step and reuse the
     # cached prediction in between (the negative-prompt noise drifts slowly
@@ -270,10 +274,18 @@ class AnimationPipeline:
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """The fused CFG denoising scan. Returns final latents."""
+        from followyourclick_tpu.schedulers.dispatch import make_solver
+
         ucfg = self.config.unet
         b, f, h, w, _ = latents.shape
-        sched = DDIMSchedule.create(self.config.noise_scheduler,
-                                    spec.num_inference_steps)
+        solver = make_solver(spec.scheduler, self.config.noise_scheduler,
+                             spec.num_inference_steps)
+        sched = solver.sched  # the PAB/cfg-cache fast paths are DDIM-only
+        # k-diffusion-family solvers start from sigma_max-scaled noise
+        # (diffusers pipelines: latents *= scheduler.init_noise_sigma)
+        if float(solver.init_noise_sigma) != 1.0:
+            latents = latents * jnp.asarray(solver.init_noise_sigma,
+                                            latents.dtype)
         do_cfg = spec.guidance_scale > 1.0
         mult = 2 if do_cfg else 1
 
@@ -319,14 +331,18 @@ class AnimationPipeline:
 
         cfg_cache = (do_cfg and spec.video_scale == 0
                      and spec.cfg_cache_interval > 1)
-        S = spec.num_inference_steps
+        S = solver.n_calls  # == num_inference_steps except PNDM grids
         if spec.eta > 0:
             # stochastic DDIM needs per-step noise (reference passes
             # eta through scheduler.step, scheduling_ddim.py:356-366)
+            assert spec.scheduler == "ddim", "eta is a DDIM knob"
             assert rng is not None, "eta > 0 requires rng for DDIM noise"
+        if solver.needs_step_noise:
+            assert rng is not None, (
+                f"{spec.scheduler} draws fresh noise every step; pass rng")
 
         def _step_noise(i):
-            if spec.eta <= 0:
+            if spec.eta <= 0 and not solver.needs_step_noise:
                 return None
             return jax.random.normal(jax.random.fold_in(rng, i),
                                      (b, f, h, w, 4), dtype=jnp.float32)
@@ -339,6 +355,10 @@ class AnimationPipeline:
         pab_on = (spec.pab_spatial_interval > 1
                   or spec.pab_cross_interval > 1
                   or spec.pab_temporal_interval > 1)
+        if pab_on or cfg_cache:
+            assert spec.scheduler == "ddim", (
+                "the PAB / cfg-cache serving approximations run on the DDIM "
+                "scan only")
         if pab_on:
             # cfg_cache_interval COMPOSES with PAB here: the static period
             # schedule runs cond-half-only UNet steps between uncond
@@ -350,9 +370,9 @@ class AnimationPipeline:
                                      build_x, _step_noise, do_cfg, mult)
 
         def step(carry, i):
-            latents, cached_uncond = carry
-            t = sched.timesteps[i]
-            x = latents
+            latents, cached_uncond, sstate = carry
+            t = solver.timestep(i)
+            x = solver.scale_model_input(latents, i)
             if use_mask_concat:
                 x = jnp.concatenate([dup(x), cond_channels], axis=-1) \
                     if do_cfg else jnp.concatenate([x, cond_channels], axis=-1)
@@ -386,7 +406,7 @@ class AnimationPipeline:
                     text_pred - uncond_pred)
                 new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                            eta=spec.eta, noise=_step_noise(i))
-                return (new_latents, uncond_pred), ()
+                return (new_latents, uncond_pred, sstate), ()
 
             noise_pred = self._unet_apply(params["unet"], x, t_batch, cond)
 
@@ -421,13 +441,14 @@ class AnimationPipeline:
                     noise_pred = uncond_pred + spec.guidance_scale * (
                         text_pred - uncond_pred)
 
-            new_latents, _ = ddim_step(sched, noise_pred, i, latents,
-                                       eta=spec.eta, noise=_step_noise(i))
-            return (new_latents, carry[1]), ()
+            new_latents, sstate = solver.step(
+                noise_pred, i, latents, sstate,
+                eta=spec.eta, noise=_step_noise(i))
+            return (new_latents, carry[1], sstate), ()
 
-        init_carry = (latents, jnp.zeros((b, f, h, w, 4), latents.dtype))
-        (latents, _), _ = jax.lax.scan(step, init_carry,
-                                       jnp.arange(spec.num_inference_steps))
+        init_carry = (latents, jnp.zeros((b, f, h, w, 4), latents.dtype),
+                      solver.init_state((b, f, h, w, 4), latents.dtype))
+        (latents, _, _), _ = jax.lax.scan(step, init_carry, jnp.arange(S))
         return latents
 
     def _denoise_pab(self, params, latents, cond, spec, sched, build_x,
@@ -624,7 +645,9 @@ class AnimationPipeline:
             context_t5 = self.encode_prompt_t5(
                 params, t5_input_ids, t5_attention_mask,
                 t5_neg_input_ids, t5_neg_attention_mask)
-        if spec.eta > 0:
+        if spec.eta > 0 or spec.scheduler == "euler_a":
+            # stochastic samplers (DDIM eta>0, Euler-Ancestral) draw fresh
+            # per-step noise inside the scan
             noise_rng, eta_rng = jax.random.split(rng)
         else:  # keep round-1 seed→noise mapping when deterministic
             noise_rng, eta_rng = rng, None
