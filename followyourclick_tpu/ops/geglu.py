@@ -44,21 +44,44 @@ def _erf(x):
 _INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
+def _gate_mul(h, gate, fast: bool, out_dtype):
+    """``h * gelu(gate)``.
+
+    fast=False: exact erf gelu, fp32 VPU math (A&S 7.1.26, |err| ≤ 1.5e-7).
+    fast=True: tanh-gelu with the elementwise math in bf16 — measured v5e
+    −0.65 ms/site at C=320 and −0.5 ms at C=640 (the fp32 erf poly's
+    divide+exp dominate the VPU time between the two MXU dots). The
+    tanh-vs-erf gap (≤1.1e-2 absolute on ℝ) is below bf16's own resolution
+    of the fp32 result, and the reference serves under fp16 autocast
+    (gelu in fp16) — see test_geglu.py::test_fast_gating_within_bf16_noise.
+    Slower than exact at C=1280 (VMEM-resident fp32 is cheaper than the
+    extra casts at that width), so callers route by width.
+    """
+    if not fast:
+        g = 0.5 * gate * (1.0 + _erf(gate * _INV_SQRT2))
+        return (h * g).astype(out_dtype)
+    gb = gate.astype(jnp.bfloat16)
+    hb = h.astype(jnp.bfloat16)
+    inner = 0.7978845608 * (gb + 0.044715 * gb * gb * gb)
+    g = 0.5 * gb * (1.0 + jnp.tanh(inner))
+    return (hb * g).astype(out_dtype)
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int,
+            fast: bool):
     x = x_ref[:]                                  # (R, C)
     h2 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h2 = h2 + b1_ref[:].astype(jnp.float32)
     h = h2[:, :inner]
     gate = h2[:, inner:]
-    g = 0.5 * gate * (1.0 + _erf(gate * _INV_SQRT2))
-    y = (h * g).astype(x.dtype)
+    y = _gate_mul(h, gate, fast, x.dtype)
     out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _ln_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-               *, inner: int, eps: float, residual: bool):
+               *, inner: int, eps: float, residual: bool, fast: bool):
     """pre-LayerNorm -> GEGLU FF [-> +residual], one read / one write."""
     x = x_ref[:]                                  # (R, C)
     xf = x.astype(jnp.float32)
@@ -74,8 +97,7 @@ def _ln_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     h2 = h2 + b1_ref[:].astype(jnp.float32)
     h = h2[:, :inner]
     gate = h2[:, inner:]
-    g = 0.5 * gate * (1.0 + _erf(gate * _INV_SQRT2))
-    y = (h * g).astype(x.dtype)
+    y = _gate_mul(h, gate, fast, x.dtype)
     out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     out = out.astype(o_ref.dtype)
@@ -84,7 +106,7 @@ def _ln_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     o_ref[:] = out
 
 
-def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret):
+def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret, fast):
     r, c = x.shape
     inner = w2.shape[0]
     pad = (-r) % block_r
@@ -92,7 +114,7 @@ def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret):
         x = jnp.pad(x, ((0, pad), (0, 0)))
     rp = x.shape[0]
     out = pl.pallas_call(
-        functools.partial(_kernel, inner=inner),
+        functools.partial(_kernel, inner=inner, fast=fast),
         grid=(rp // block_r,),
         in_specs=[
             pl.BlockSpec((block_r, c), lambda i: (i, 0)),
@@ -104,7 +126,9 @@ def _fwd_impl(x, w1, b1, w2, b2, block_r, interpret):
         out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rp, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # row blocks are independent ("parallel" measured ~2% over
+            # "arbitrary" on v5e at every UNet width)
+            dimension_semantics=("parallel",),
             # the weight panels alone are ~39 MB at C=1280
             vmem_limit_bytes=110 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -138,7 +162,7 @@ def _ln_ref_fp32(x, ls, lb, w1, b1, w2, b2, eps, residual):
 
 
 def _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
-                 interpret):
+                 interpret, fast):
     r, c = x.shape
     inner = w2.shape[0]
     pad = (-r) % block_r
@@ -147,7 +171,7 @@ def _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
     rp = x.shape[0]
     out = pl.pallas_call(
         functools.partial(_ln_kernel, inner=inner, eps=eps,
-                          residual=residual),
+                          residual=residual, fast=fast),
         grid=(rp // block_r,),
         in_specs=[
             pl.BlockSpec((block_r, c), lambda i: (i, 0)),
@@ -161,7 +185,7 @@ def _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
         out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rp, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * c * 4 * inner,
@@ -173,20 +197,21 @@ def _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
     return out[:r]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _ln_geglu(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _ln_geglu(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r, interpret,
+              fast):
     return _ln_fwd_impl(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
-                        interpret)
+                        interpret, fast)
 
 
 def _ln_geglu_fwd(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
-                  interpret):
+                  interpret, fast):
     out = _ln_geglu(x, ls, lb, w1, b1, w2, b2, eps, residual, block_r,
-                    interpret)
+                    interpret, fast)
     return out, (x, ls, lb, w1, b1, w2, b2)
 
 
-def _ln_geglu_bwd(eps, residual, block_r, interpret, res, g):
+def _ln_geglu_bwd(eps, residual, block_r, interpret, fast, res, g):
     _, vjp = jax.vjp(
         lambda *a: _ln_ref_fp32(*a, eps, residual), *res)
     grads = vjp(g.astype(jnp.float32))
@@ -208,26 +233,40 @@ def fused_ln_geglu(
     residual: bool = True,
     block_r: int | None = None,
     interpret: bool | None = None,
+    fast_gating: bool | None = None,
 ) -> jnp.ndarray:
     """LayerNorm → GEGLU FF → (+x), one HBM read and one write."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_r is None:
         block_r = 1024
+    if fast_gating is None:
+        fast_gating = _default_fast_gating(x)
     return _ln_geglu(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, residual,
-                     block_r, interpret)
+                     block_r, interpret, fast_gating)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _geglu(x, w1, b1, w2, b2, block_r, interpret):
-    return _fwd_impl(x, w1, b1, w2, b2, block_r, interpret)
+def _default_fast_gating(x) -> bool:
+    """bf16 tanh gating for the half-precision serving path at C ≤ 640
+    (slower at 1280 — see _gate_mul); FYC_EXACT_GELU=1 forces exact."""
+    import os
+
+    if os.environ.get("FYC_EXACT_GELU", "") not in ("", "0"):
+        return False
+    return x.dtype == jnp.bfloat16 and x.shape[-1] <= 640
 
 
-def _geglu_fwd(x, w1, b1, w2, b2, block_r, interpret):
-    return _geglu(x, w1, b1, w2, b2, block_r, interpret), (x, w1, b1, w2, b2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _geglu(x, w1, b1, w2, b2, block_r, interpret, fast):
+    return _fwd_impl(x, w1, b1, w2, b2, block_r, interpret, fast)
 
 
-def _geglu_bwd(block_r, interpret, res, g):
+def _geglu_fwd(x, w1, b1, w2, b2, block_r, interpret, fast):
+    return (_geglu(x, w1, b1, w2, b2, block_r, interpret, fast),
+            (x, w1, b1, w2, b2))
+
+
+def _geglu_bwd(block_r, interpret, fast, res, g):
     _, vjp = jax.vjp(_ref_fp32, *res)
     grads = vjp(g.astype(jnp.float32))
     return tuple(gr.astype(r.dtype) for gr, r in zip(grads, res))
@@ -244,6 +283,7 @@ def fused_geglu(
     b2: jnp.ndarray,   # (C,)
     block_r: int | None = None,
     interpret: bool | None = None,
+    fast_gating: bool | None = None,
 ) -> jnp.ndarray:
     """GEGLU feed-forward with the (R, 2*inner) intermediate kept in VMEM."""
     if interpret is None:
@@ -252,4 +292,6 @@ def fused_geglu(
         # 1024 rows won the v5e sweep at every UNet width; the fp32 h2 block
         # (42 MB at inner=5120) + weight panels stay under the 110 MB budget
         block_r = 1024
-    return _geglu(x, w1, b1, w2, b2, block_r, interpret)
+    if fast_gating is None:
+        fast_gating = _default_fast_gating(x)
+    return _geglu(x, w1, b1, w2, b2, block_r, interpret, fast_gating)

@@ -33,6 +33,29 @@ def test_bf16_and_row_padding():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_fast_gating_within_bf16_noise():
+    """The bf16 tanh-gelu serving mode (fast_gating, default for bf16
+    inputs at C<=640) must stay within bf16 resolution of the exact-erf
+    fp32 result — the same regime the reference's fp16-autocast gelu
+    operates in."""
+    args = _args(320, 1280, 256, key=4)
+    bargs = tuple(a.astype(jnp.bfloat16) for a in args)
+    ref = np.asarray(_ref_fp32(*args))
+    fast = np.asarray(
+        fused_geglu(*bargs, block_r=64, interpret=True, fast_gating=True),
+        np.float32)
+    exact_bf16 = np.asarray(
+        fused_geglu(*bargs, block_r=64, interpret=True, fast_gating=False),
+        np.float32)
+    scale = np.abs(ref).mean()
+    # the fast path's extra error vs the bf16-exact path is bounded by the
+    # bf16 quantization noise itself
+    err_fast = np.abs(fast - ref).mean() / scale
+    err_exact = np.abs(exact_bf16 - ref).mean() / scale
+    assert err_fast < 2.0 * max(err_exact, 1e-3), (err_fast, err_exact)
+    assert err_fast < 2e-2, err_fast
+
+
 def test_gradients_match_reference():
     args = _args(32, 64, 24, key=1)
 
