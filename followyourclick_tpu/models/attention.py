@@ -289,6 +289,20 @@ class BasicTransformerBlock(nn.Module):
         h = pab_site(self, "spatial", "attn1_out", self.pab,
                      lambda: _attn1(h)) + h
 
+        # CFG prefix sharing (exact math): when the caller passes hidden
+        # states at the pre-CFG batch with context at the doubled batch, the
+        # cond/uncond halves were identical up to this point (same latents,
+        # timestep, fps/motion embeds — only the text context differs), so
+        # the stem above ran ONCE at half batch. Duplicate here, where text
+        # conditioning first enters. Row order matches the [uncond; cond]
+        # context layout because both halves receive the same hidden rows.
+        if (self.cross_attention_dim is not None and context is not None
+                and context.shape[0] != h.shape[0]):
+            tile = context.shape[0] // h.shape[0]
+            assert tile * h.shape[0] == context.shape[0], \
+                (h.shape, context.shape)
+            h = jnp.concatenate([h] * tile, axis=0)
+
         # 2. text (+ip) cross-attention
         if self.cross_attention_dim is not None:
             def _attn2(h):
@@ -419,12 +433,17 @@ class SpatialTransformer3D(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(x, context=ctx, context_2=ctx2, video_length=f)
 
+        bf_out = x.shape[0]  # may be CFG-doubled inside the blocks (prefix
+        # sharing duplicates at the first cross-attention)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
-            x = x.reshape(b * f, hh, ww, c)
+            x = x.reshape(bf_out, hh, ww, c)
         else:
             x = Conv1x1(c, dtype=self.dtype, name="proj_out")(x)
-            x = x.reshape(b * f, hh, ww, c)
+            x = x.reshape(bf_out, hh, ww, c)
 
+        if bf_out != residual.shape[0]:
+            residual = jnp.concatenate(
+                [residual] * (bf_out // residual.shape[0]), axis=0)
         out = x + residual
-        return out.reshape(b, f, hh, ww, c)
+        return out.reshape(bf_out // f, f, hh, ww, c)

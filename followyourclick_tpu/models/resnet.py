@@ -27,6 +27,18 @@ def fold_frames(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
     return x.reshape(b * f, h, w, c), f
 
 
+def tile_to_batch(t: Optional[jnp.ndarray], b: int) -> Optional[jnp.ndarray]:
+    """CFG prefix sharing: conditioning computed at the pre-duplication batch
+    is tiled to the post-duplication batch (see unet3d.py — the cond/uncond
+    halves are identical until text context enters at the first
+    cross-attention, so the stem runs once at half batch and everything
+    batch-shaped from before the duplication point is tiled on use)."""
+    if t is None or t.shape[0] == b:
+        return t
+    assert b % t.shape[0] == 0, (t.shape, b)
+    return jnp.concatenate([t] * (b // t.shape[0]), axis=0)
+
+
 def unfold_frames(x: jnp.ndarray, frames: int) -> jnp.ndarray:
     bf, h, w, c = x.shape
     return x.reshape(bf // frames, frames, h, w, c)
@@ -215,6 +227,10 @@ class ResnetBlock3D(nn.Module):
     ) -> jnp.ndarray:
         act = get_activation(self.non_linearity)
         folded = self.non_linearity in ("swish", "silu")
+        # CFG prefix sharing: after the in-UNet duplication point the hidden
+        # batch is a multiple of the time-embedding batch
+        temb = tile_to_batch(temb, x.shape[0])
+        temb_frame0 = tile_to_batch(temb_frame0, x.shape[0])
         hidden = self._apply_norm(self._norm("norm1", self.groups), x)
         if not folded:
             hidden = act(hidden)

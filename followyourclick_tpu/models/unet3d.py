@@ -43,8 +43,18 @@ from followyourclick_tpu.models.unet_blocks import (
 
 @flax.struct.dataclass
 class UNetConditioning:
-    """All conditioning inputs for one denoise step (CFG batching included
-    upstream: every array's leading dim is the CFG-doubled batch)."""
+    """All conditioning inputs for one denoise step.
+
+    Batch convention: ``context``/``context_t5`` carry the CFG layout the
+    caller wants ([uncond; cond] when doubled). The remaining arrays may be
+    at EITHER the sample batch or the context batch — CFG prefix sharing
+    (exact math): when ``context`` has 2× the sample's batch, the UNet runs
+    its stem (conv_in → first resnet → first self-attention) once at the
+    sample batch and duplicates hidden states at the first cross-attention,
+    where text conditioning first enters; batch-shaped conditioning is
+    tiled on use (``resnet.tile_to_batch``). Identical halves are
+    guaranteed by construction: both CFG branches share latents, timestep,
+    and fps/motion/camera values."""
 
     context: jnp.ndarray                                # (B, 77[+N_ip], 768)
     fps: Optional[jnp.ndarray] = None                   # (B,) frame-rate value
@@ -107,19 +117,26 @@ class UNet3DConditionModel(nn.Module):
 
         # fps/motion/camera embeddings have zero-init output layers so an
         # inflated checkpoint starts as a no-op (reference unet.py:134-146)
+        from followyourclick_tpu.models.resnet import tile_to_batch
+
+        def aux(a):
+            # scalar-per-clip conditioning may arrive at the pre-CFG batch
+            return None if a is None else jnp.broadcast_to(
+                tile_to_batch(a, b) if a.ndim else a, (b,))
+
         if cfg.use_camera_motion_condition and cond.camera_motion_type is not None:
-            cam = jnp.broadcast_to(cond.camera_motion_type, (b,))
+            cam = aux(cond.camera_motion_type)
             emb += TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
                                      zero_init_output=True,
                                      name="camera_motion_embedding")(sin_emb(cam))
         if cfg.use_fps_condition:
             assert cond.fps is not None and cond.motion_score is not None, (
                 "use_fps_condition requires cond.fps and cond.motion_score")
-            fps = jnp.broadcast_to(cond.fps, (b,))
+            fps = aux(cond.fps)
             emb += TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
                                      zero_init_output=True,
                                      name="fps_embedding")(sin_emb(fps))
-            flow = jnp.broadcast_to(cond.motion_score, (b,))
+            flow = aux(cond.motion_score)
             emb += TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
                                      zero_init_output=True,
                                      name="motion_embedding")(sin_emb(flow))
@@ -132,9 +149,9 @@ class UNet3DConditionModel(nn.Module):
         # ---- input projection ----
         if cfg.use_first_frame_condition_concat:
             assert cond.reference_images_latent is not None
+            ref_lat = tile_to_batch(cond.reference_images_latent, b)
             first = jnp.broadcast_to(
-                cond.reference_images_latent[:, None],
-                (b, f) + cond.reference_images_latent.shape[1:])
+                ref_lat[:, None], (b, f) + ref_lat.shape[1:])
             sample = jnp.concatenate([sample, first.astype(sample.dtype)],
                                      axis=-1)
         conv_cls = PseudoConv3d if cfg.use_pseudo_conv3d else InflatedConv
@@ -217,9 +234,11 @@ class UNet3DConditionModel(nn.Module):
         out_norm = GroupNorm(num_groups=cfg.norm_num_groups,
                              epsilon=cfg.norm_eps, dtype=self.dtype,
                              act="silu", name="conv_norm_out")
+        b_out = sample.shape[0]  # CFG-doubled when prefix sharing was active
         if cfg.use_inflated_groupnorm:
-            bf_sample = sample.reshape(b * f, *sample.shape[2:])
-            sample = out_norm(bf_sample).reshape(b, f, *bf_sample.shape[1:])
+            bf_sample = sample.reshape(b_out * f, *sample.shape[2:])
+            sample = out_norm(bf_sample).reshape(b_out, f,
+                                                 *bf_sample.shape[1:])
         else:
             # plain GroupNorm on the 5D clip: stats over (F, H, W, C/g)
             sample = out_norm(sample)

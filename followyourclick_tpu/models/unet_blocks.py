@@ -25,6 +25,7 @@ from followyourclick_tpu.models.resnet import (
     Downsample3D,
     ResnetBlock3D,
     Upsample3D,
+    tile_to_batch,
 )
 
 
@@ -193,6 +194,9 @@ class CrossAttnUpBlock3D(nn.Module):
             skip_ch = res.shape[-1]
             in_ch = (self.prev_output_channel if i == 0
                      else self.out_channels) + skip_ch
+            # skips saved before the CFG prefix-sharing duplication point
+            # (e.g. the conv_in output) are at the pre-CFG batch
+            res = tile_to_batch(res, hidden_states.shape[0])
             hidden_states = jnp.concatenate([hidden_states, res], axis=-1)
             hidden_states = _resnet(cfg, in_ch, self.out_channels,
                                     f"resnets_{i}", self.dtype)(
@@ -232,6 +236,7 @@ class UpBlock3D(nn.Module):
             skip_ch = res.shape[-1]
             in_ch = (self.prev_output_channel if i == 0
                      else self.out_channels) + skip_ch
+            res = tile_to_batch(res, hidden_states.shape[0])
             hidden_states = jnp.concatenate([hidden_states, res], axis=-1)
             hidden_states = _resnet(cfg, in_ch, self.out_channels,
                                     f"resnets_{i}", self.dtype)(

@@ -58,6 +58,14 @@ class SampleSpec:
     # DDIM/PNDM/LMS/Euler(-A)/DPM-Solver (pipeline_animation.py:50-57);
     # see schedulers/dispatch.py for the names
     scheduler: str = flax.struct.field(pytree_node=False, default="ddim")
+    # CFG prefix sharing (EXACT math, on by default): the cond/uncond halves
+    # are identical through conv_in → first resnet → first self-attention
+    # (text context only enters at the first cross-attention), so the UNet
+    # stem runs once at half batch and hidden states duplicate in-network
+    # (models/attention.py BasicTransformerBlock). False forces the
+    # reference-style pre-duplicated call.
+    share_cfg_prefix: bool = flax.struct.field(pytree_node=False,
+                                               default=True)
     # OPT-IN serving approximation (NOT reference behavior, off by default):
     # recompute the CFG uncond branch only every k-th step and reuse the
     # cached prediction in between (the negative-prompt noise drifts slowly
@@ -288,16 +296,22 @@ class AnimationPipeline:
                                             latents.dtype)
         do_cfg = spec.guidance_scale > 1.0
         mult = 2 if do_cfg else 1
+        # CFG prefix sharing: pass the UNet un-duplicated latents + aux
+        # conditioning with the doubled context; it duplicates in-network at
+        # the first cross-attention (see SampleSpec.share_cfg_prefix)
+        share = spec.share_cfg_prefix and do_cfg
 
         def dup(x):
             if x is None or not do_cfg:
                 return x
             return jnp.concatenate([x] * 2, axis=0)
 
+        # per-clip scalar conditioning is NEVER pre-duplicated: both CFG
+        # halves share the values and the UNet tiles on use (tile_to_batch)
         cond = UNetConditioning(
             context=context,
-            fps=dup(fps), motion_score=dup(motion_score),
-            camera_motion_type=dup(camera_motion_type),
+            fps=fps, motion_score=motion_score,
+            camera_motion_type=camera_motion_type,
             context_t5=context_t5,
         )
 
@@ -323,11 +337,9 @@ class AnimationPipeline:
             cond_channels = jnp.concatenate(
                 [mask_block.astype(latents.dtype),
                  first_block.astype(latents.dtype)], axis=-1)
-            cond_channels = dup(cond_channels)
 
         if ucfg.use_first_frame_condition_concat:
-            cond = cond.replace(reference_images_latent=dup(
-                first_image_latents))
+            cond = cond.replace(reference_images_latent=first_image_latents)
 
         cfg_cache = (do_cfg and spec.video_scale == 0
                      and spec.cfg_cache_interval > 1)
@@ -348,8 +360,10 @@ class AnimationPipeline:
                                      (b, f, h, w, 4), dtype=jnp.float32)
 
         def build_x(latents):
+            # PAB path only: reference-style pre-duplicated UNet input
             if use_mask_concat:
-                return jnp.concatenate([dup(latents), cond_channels], axis=-1)
+                return jnp.concatenate([dup(latents), dup(cond_channels)],
+                                       axis=-1)
             return dup(latents)
 
         pab_on = (spec.pab_spatial_interval > 1
@@ -373,12 +387,14 @@ class AnimationPipeline:
             latents, cached_uncond, sstate = carry
             t = solver.timestep(i)
             x = solver.scale_model_input(latents, i)
+            x_dup = dup(x) if (do_cfg and not share) else x
             if use_mask_concat:
-                x = jnp.concatenate([dup(x), cond_channels], axis=-1) \
-                    if do_cfg else jnp.concatenate([x, cond_channels], axis=-1)
+                cc = cond_channels if (share or not do_cfg) \
+                    else dup(cond_channels)
+                x = jnp.concatenate([x_dup, cc], axis=-1)
             else:
-                x = dup(x)
-            t_batch = jnp.broadcast_to(t, (b * mult,))
+                x = x_dup
+            t_batch = jnp.broadcast_to(t, (b if share else b * mult,))
             if cfg_cache:
                 # both branches produce (uncond, text) of shape (b,f,h,w,4);
                 # the cheap branch runs the UNet on the cond half only
@@ -391,8 +407,11 @@ class AnimationPipeline:
                     return u, c
 
                 def cached(_):
+                    # cond-half-only UNet call: context sliced to its cond
+                    # half; the latent input is already un-duplicated under
+                    # prefix sharing
                     c = self._unet_apply(
-                        params["unet"], x[b:],
+                        params["unet"], x if share else x[b:],
                         jnp.broadcast_to(t, (b,)),
                         jax.tree_util.tree_map(
                             lambda a: a[b:] if hasattr(a, "shape")
@@ -421,7 +440,7 @@ class AnimationPipeline:
                     # reproduce it exactly for parity. ip tokens never enter
                     # this pass (they are injected inside the reference UNet
                     # only when use_ip_cross_attention is passed).
-                    xs = jnp.split(x, 2, axis=0)[0]
+                    xs = x if share else jnp.split(x, 2, axis=0)[0]
                     xs = xs.reshape(b * f, 1, h, w, xs.shape[-1])
                     base_ctx = context
                     if ucfg.use_ip_cross_attention:

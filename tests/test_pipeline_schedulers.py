@@ -58,12 +58,12 @@ def pipe():
     return p
 
 
-def _run(pipe, scheduler, steps=3):
+def _run(pipe, scheduler, steps=3, **spec_kw):
     from followyourclick_tpu.pipelines.animation import SampleSpec
 
     spec = SampleSpec(video_length=2, height=64, width=64,
                       num_inference_steps=steps, guidance_scale=7.5,
-                      scheduler=scheduler)
+                      scheduler=scheduler, **spec_kw)
     first = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4)) * 0.2
     mask = jnp.ones((1, 8, 8, 1))
     ids = jax.random.randint(jax.random.PRNGKey(9), (1, 77), 0, 1000)
@@ -97,6 +97,16 @@ def test_solvers_actually_differ_from_ddim(pipe):
     # would match it exactly
     assert not np.allclose(euler, ddim, atol=1e-4)
     assert not np.allclose(dpm, ddim, atol=1e-4)
+
+
+def test_cfg_prefix_share_matches_duplicated(pipe):
+    """CFG prefix sharing (SampleSpec.share_cfg_prefix, exact math: the
+    UNet stem runs once at half batch, duplication happens at the first
+    cross-attention) must reproduce the reference-style pre-duplicated
+    call to numerical noise."""
+    shared = _run(pipe, "ddim")                          # default: True
+    duped = _run(pipe, "ddim", share_cfg_prefix=False)
+    np.testing.assert_allclose(shared, duped, atol=2e-4, rtol=2e-4)
 
 
 def test_solver_call_counts():
