@@ -183,9 +183,38 @@ class TemporalAttention(nn.Module):
         return o
 
 
+class _TemporalAttnParams(nn.Module):
+    """Param host matching ``TemporalAttention``'s q/k/v/out Dense tree —
+    consumed by the whole-block fused kernel (ops/motion_block.py)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, _ = _DenseParams(self.dim, self.dim, name="to_q")()
+        wk, _ = _DenseParams(self.dim, self.dim, name="to_k")()
+        wv, _ = _DenseParams(self.dim, self.dim, name="to_v")()
+        wo, bo = _DenseParams(self.dim, self.dim, use_bias=True,
+                              name="to_out")()
+        return wq, wk, wv, wo, bo
+
+
+def _fused_motion_block_enabled() -> bool:
+    import os
+
+    if os.environ.get("FYC_FORCE_FUSED_MOTION", "") not in ("", "0"):
+        return True  # tests: exercise the fused wiring off-TPU (interpret)
+    return jax.default_backend() == "tpu"
+
+
 class TemporalTransformerBlock(nn.Module):
     """N temporal attentions (pre-LN, residual) + GEGLU FF
-    (reference motion_module.py:211-283)."""
+    (reference motion_module.py:211-283).
+
+    On TPU the standard configuration (two Temporal_Self attentions,
+    sinusoidal PE, no RoPE/LoRA) runs as ONE Pallas kernel over the whole
+    block — LN→attn→res ×2 → LN→GEGLU-FF→res with a single HBM read/write
+    (ops/motion_block.py). Param tree identical to the modular path."""
 
     dim: int
     num_attention_heads: int
@@ -205,6 +234,42 @@ class TemporalTransformerBlock(nn.Module):
     def __call__(self, hidden_states: jnp.ndarray, video_length: int,
                  context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = hidden_states
+        inner_dim = self.num_attention_heads * self.attention_head_dim
+        use_fused = (
+            _fused_motion_block_enabled()
+            and self.pab is None
+            and tuple(self.attention_block_types)
+            == ("Temporal_Self", "Temporal_Self")
+            and not self.use_rope and not self.add_temporal_lora
+            and context is None and inner_dim == self.dim and self.dim < 1280)
+        if use_fused:
+            from followyourclick_tpu.models.attention import (
+                _GEGLUParams,
+                _LNParams,
+            )
+            from followyourclick_tpu.ops.motion_block import fused_motion_block
+
+            if self.temporal_position_encoding:
+                pe = temporal_positional_encoding(
+                    self.temporal_position_encoding_max_len, self.dim
+                )[0, :video_length]
+            else:
+                pe = jnp.zeros((video_length, self.dim))
+            hosts = []
+            for i in range(2):
+                ls, lb = _LNParams(self.dim, name=f"norms_{i}")()
+                wq, wk, wv, wo, bo = _TemporalAttnParams(
+                    self.dim, name=f"attention_blocks_{i}")()
+                hosts += [ls, lb, wq, wk, wv, wo, bo]
+            lfs, lfb = _LNParams(self.dim, name="ff_norm")()
+            w1, b1, w2, b2 = _GEGLUParams(self.dim, name="ff")()
+            hosts += [lfs, lfb, w1, b1, w2, b2]
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            return fused_motion_block(
+                h, pe.astype(self.dtype), tuple(cast(t) for t in hosts),
+                scale=self.attention_head_dim ** -0.5,
+                heads=self.num_attention_heads)
+
         for i, block_type in enumerate(self.attention_block_types):
             is_cross = block_type.endswith("_Cross")
 
