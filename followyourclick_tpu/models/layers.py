@@ -79,6 +79,27 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+class Conv2dParams(nn.Module):
+    """``nn.Conv``-shaped params (``kernel`` HWIO + ``bias``) without applying
+    them — consumed by ops that need the raw weights (e.g. the phase-decomposed
+    upsample conv, ops/upsample.py) while sharing the param tree (and
+    therefore checkpoints/converters) with a plain ``nn.Conv``."""
+
+    in_features: int
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return {
         "silu": nn.silu,

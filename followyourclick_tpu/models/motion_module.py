@@ -241,7 +241,9 @@ class TemporalTransformerBlock(nn.Module):
             and tuple(self.attention_block_types)
             == ("Temporal_Self", "Temporal_Self")
             and not self.use_rope and not self.add_temporal_lora
-            and context is None and inner_dim == self.dim and self.dim < 1280)
+            and context is None and inner_dim == self.dim
+            and self.dim <= 1280)  # measured win at every UNet width incl.
+        # 1280 (L2 4.89→4.27 ms, L3 1.89→1.69 ms per block, v5e)
         if use_fused:
             from followyourclick_tpu.models.attention import (
                 _GEGLUParams,

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from followyourclick_tpu.config import VAEConfig
-from followyourclick_tpu.models.layers import GroupNorm
+from followyourclick_tpu.models.layers import Conv2dParams, GroupNorm
+from followyourclick_tpu.ops.upsample import conv3x3_nearest_up2
 
 
 class VAEResnetBlock(nn.Module):
@@ -139,10 +140,14 @@ class Decoder(nn.Module):
                                    dtype=self.dtype,
                                    name=f"up_{i}_resnet_{j}")(h)
             if i < len(cfg.up_block_types) - 1:
-                b, hh, ww, c = h.shape
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                # nearest-2× upsample + 3×3 conv as four 2×2 phase convs —
+                # exact rewrite, 2.25× fewer MACs, no 4× intermediate
+                # (ops/upsample.py; v5e 16f/512px: 37.9→29.3, 33.0→21.7,
+                # 10.4→7.2 ms for the three decoder upsamplers)
+                k, bias = Conv2dParams(out_ch, out_ch,
+                                       name=f"up_{i}_upsample")()
+                h = conv3x3_nearest_up2(
+                    h, k.astype(self.dtype), bias.astype(self.dtype))
         h = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                       dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)

@@ -194,9 +194,10 @@ def fused_motion_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
-        # v5e sweep: 32 wins at C=320 (6.51 ms), 128 at C=640 (4.63 ms);
+        # v5e sweep: 32 wins at C=320 (6.51 ms), 128 at C=640 (4.63 ms),
+        # 32 at C=1280 (4.27 ms, where the weight panels alone are ~65 MB);
         # VMEM (weights + fp32 FF intermediate + k_rep/v_rep) stays <110 MB
-        block_b = 32 if c <= 320 else 128
+        block_b = 32 if c <= 320 else (128 if c <= 640 else 32)
     if fast_gating is None:
         fast_gating = _default_fast_gating(x.reshape(-1, c))
     return _block(x, pe, tuple(params), float(scale), heads, eps,
