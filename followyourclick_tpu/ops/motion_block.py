@@ -194,10 +194,12 @@ def fused_motion_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
-        # v5e sweep: 32 wins at C=320 (6.51 ms), 128 at C=640 (4.63 ms),
-        # 32 at C=1280 (4.27 ms, where the weight panels alone are ~65 MB);
-        # VMEM (weights + fp32 FF intermediate + k_rep/v_rep) stays <110 MB
-        block_b = 32 if c <= 320 else (128 if c <= 640 else 32)
+        # v5e sweep: 64 wins at C=320 (6.35 ms; 32 gave 6.60), 128 at C=640
+        # (4.48 ms), 32 at C=1280 (4.27 ms, where the weight panels alone
+        # are ~65 MB); "parallel" vs "arbitrary" grid semantics measured
+        # within noise. VMEM (weights + fp32 FF intermediate + k_rep/v_rep)
+        # stays <110 MB at every width.
+        block_b = 64 if c <= 320 else (128 if c <= 640 else 32)
     if fast_gating is None:
         fast_gating = _default_fast_gating(x.reshape(-1, c))
     return _block(x, pe, tuple(params), float(scale), heads, eps,

@@ -6,7 +6,6 @@ Reference semantics: animatediff/models/motion_module.py:211-283."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from followyourclick_tpu.config import MotionModuleConfig
 from followyourclick_tpu.models.motion_module import (
