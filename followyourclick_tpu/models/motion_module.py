@@ -235,9 +235,16 @@ class TemporalTransformerBlock(nn.Module):
                  context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = hidden_states
         inner_dim = self.num_attention_heads * self.attention_head_dim
+        # PAB gating: only TEMPORAL caching needs the modular per-site path;
+        # a PabMode that never records/reuses temporal sites (e.g. the pure
+        # cfg-uncond-cache schedule, or spatial/cross-only PAB) creates no
+        # temporal cache variables, so the fused whole-block kernel applies.
+        pab_temporal = (self.pab is not None
+                        and (self.pab.record("temporal")
+                             or self.pab.reuse("temporal")))
         use_fused = (
             _fused_motion_block_enabled()
-            and self.pab is None
+            and not pab_temporal
             and tuple(self.attention_block_types)
             == ("Temporal_Self", "Temporal_Self")
             and not self.use_rope and not self.add_temporal_lora

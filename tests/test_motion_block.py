@@ -127,9 +127,9 @@ def test_integrated_module_matches_modular(rng, monkeypatch):
                                rtol=5e-4, atol=5e-4)
 
 
-def test_pab_keeps_modular_path(rng, monkeypatch):
-    """With PAB active the block must keep the modular (per-site cached)
-    path — the fused kernel has no cache sites."""
+def test_pab_temporal_keeps_modular_path(rng, monkeypatch):
+    """With TEMPORAL PAB caching active the block must keep the modular
+    (per-site cached) path — the fused kernel has no cache sites."""
     from followyourclick_tpu.models.pab import PabMode
 
     monkeypatch.setenv("FYC_FORCE_FUSED_MOTION", "1")
@@ -140,3 +140,26 @@ def test_pab_keeps_modular_path(rng, monkeypatch):
     x = jax.random.normal(rng, (bhw, f, c))
     variables = block.init(jax.random.PRNGKey(0), x, video_length=f)
     assert "pab" in variables  # cache sites exist => modular path taken
+
+
+def test_non_temporal_pab_mode_uses_fused_path(rng, monkeypatch):
+    """A PabMode that never caches temporal sites (pure cfg-uncond-cache
+    schedule, spatial-only PAB) must still get the fused kernel — and match
+    the modular output, with no temporal cache variables created."""
+    from followyourclick_tpu.models.pab import PabMode
+
+    c, heads, f, bhw = 32, 4, 5, 9
+    mode = PabMode(record_spatial=True)  # no temporal flags
+    block = TemporalTransformerBlock(
+        dim=c, num_attention_heads=heads, attention_head_dim=c // heads,
+        temporal_position_encoding_max_len=8, pab=mode)
+    x = jax.random.normal(rng, (bhw, f, c))
+    variables = block.init(jax.random.PRNGKey(0), x, video_length=f)
+    out_mod = block.apply(variables, x, video_length=f)
+
+    monkeypatch.setenv("FYC_FORCE_FUSED_MOTION", "1")
+    variables_f = block.init(jax.random.PRNGKey(0), x, video_length=f)
+    assert "pab" not in variables_f  # fused path: no temporal cache sites
+    out_fused = block.apply(variables, x, video_length=f)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_mod),
+                               rtol=5e-4, atol=5e-4)
