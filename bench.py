@@ -22,9 +22,9 @@ the pipeline. Cold compiles of the PAB/stacked step-variant graphs cost
   - each opt-in variant runs only if elapsed time leaves room in the budget
     (``FYC_BENCH_BUDGET_S``, default 1500 s; skipped ones are recorded in
     ``optin_skipped``);
-  - the most compile-heavy variant (PAB-2 ∘ cfg_cache4 stacked schedule) is
-    excluded from the default run entirely — set ``FYC_BENCH_FULL=1`` to
-    include it.
+  - the default run pays for at most ONE cold PAB-family compile — the best
+    composed serving schedule (PAB spatial-2/temporal-4/cross-4 ∘
+    cfg_cache4); the uniform PAB-2 variants are ``FYC_BENCH_FULL=1`` only.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 ``published: {}``). We compare against an estimated PyTorch+xformers A100
@@ -165,20 +165,30 @@ def main():
     # ── opt-in serving approximations, each under the wall-clock budget ──
     # (quality bounds for these schedules: tests/test_pab.py + docs/PERF.md)
     variants = [
-        # (key, spec, iters) — cheapest compile first
+        # (key, spec, iters) — cheapest compile first; the composed
+        # per-kind schedule (PAB spatial-2/temporal-4/cross-4 ∘ cfg_cache4)
+        # is the best serving line (quality budget: tests/test_pab.py +
+        # docs/PERF.md), so it is the one opt-in PAB graph the default run
+        # pays a cold compile for
         ("cfg_cache3", spec.replace(cfg_cache_interval=3), n_iters),
-        ("pab_222", spec.replace(pab_spatial_interval=2,
-                                 pab_temporal_interval=2,
-                                 pab_cross_interval=2), n_iters),
+        ("pab244_cfg4", spec.replace(pab_spatial_interval=2,
+                                     pab_temporal_interval=4,
+                                     pab_cross_interval=4,
+                                     cfg_cache_interval=4), n_iters),
     ]
     if full:
-        variants.append(
+        variants += [
+            ("pab_222", spec.replace(pab_spatial_interval=2,
+                                     pab_temporal_interval=2,
+                                     pab_cross_interval=2), n_iters),
             ("pab2_cfg4", spec.replace(pab_spatial_interval=2,
                                        pab_temporal_interval=2,
                                        pab_cross_interval=2,
-                                       cfg_cache_interval=4), n_iters))
+                                       cfg_cache_interval=4), n_iters),
+        ]
     else:
-        result["optin_skipped"] = ["pab2_cfg4 (FYC_BENCH_FULL unset)"]
+        result["optin_skipped"] = [
+            "pab_222, pab2_cfg4 (FYC_BENCH_FULL unset)"]
 
     for key, vspec, it in variants:
         elapsed = time.perf_counter() - t_start

@@ -237,16 +237,21 @@ def test_pipeline_pab_cfg_composition():
 
 
 def test_pab_cfg_composed_schedule_quality_budget():
-    """End-to-end quality budget for the shipped serving schedule
-    (PAB-2 ∘ cfg_cache4) vs the exact sampler at a mid-size shape
-    (8 frames, 128px, 25 steps, real random-init weights): the composed
-    approximation must stay within rel-l2 ≤ 0.15 / PSNR ≥ 22 dB of the
-    exact output, and must actually differ from it (a spec-plumbing break
-    that silently disables the approximation also fails).
+    """End-to-end quality budget for the shipped composed serving schedules
+    (uniform PAB-2 ∘ cfg_cache4, and the tuned per-kind PAB
+    spatial-2/temporal-4/cross-4 ∘ cfg_cache4 that bench.py reports) vs the
+    exact sampler at a mid-size shape (8 frames, 128px, 25 steps, real
+    random-init weights): each composed approximation must stay within
+    rel-l2 ≤ 0.15 / PSNR ≥ 22 dB of the exact output, and must actually
+    differ from it (a spec-plumbing break that silently disables the
+    approximation also fails).
 
     Measured on this workload (docs/PERF.md "Serving quality budget"):
-    rel_l2=0.082, PSNR=26.9 dB; thresholds carry ~2x margin. PAB-family
-    framing: arXiv 2408.12588."""
+    pab222∘cfg4 rel_l2=0.082 / 26.9 dB, pab244∘cfg4 rel_l2=0.080 / 27.1 dB
+    (the tuned schedule reuses MORE attention yet drifts slightly LESS —
+    its j=2 half-steps reuse temporal/cross outputs recorded on the full
+    CFG step); thresholds carry ~2x margin. PAB-family framing:
+    arXiv 2408.12588."""
     from followyourclick_tpu.pipelines.animation import (
         AnimationPipeline,
         SampleSpec,
@@ -289,17 +294,25 @@ def test_pab_cfg_composed_schedule_quality_budget():
                 num_inference_steps=25, guidance_scale=8.0,
                 use_interpolate_noise=True)
     exact = run(SampleSpec(**base))
-    approx = run(SampleSpec(**base, pab_spatial_interval=2,
-                            pab_temporal_interval=2, pab_cross_interval=2,
-                            cfg_cache_interval=4))
-    diff = approx - exact
-    rel_l2 = float(np.linalg.norm(diff) / (np.linalg.norm(exact) + 1e-12))
-    psnr = 10 * np.log10(1.0 / max(float(np.mean(diff ** 2)), 1e-20))
-    assert rel_l2 <= 0.15, f"composed schedule drifted: rel_l2={rel_l2:.4f}"
-    assert psnr >= 22.0, f"composed schedule drifted: psnr={psnr:.2f} dB"
-    # the schedule must be live — identical output means the opt-in
-    # approximation flags silently stopped reaching the sampler
-    assert rel_l2 > 1e-4, "approximation inactive (output identical to exact)"
+    # uniform PAB-2 composition AND the tuned per-kind schedule shipped as
+    # the bench default (spatial-2 / temporal-4 / cross-4 — the PAB paper's
+    # own per-kind ordering: cross/temporal attention drift slowest)
+    schedules = {
+        "pab222_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=2,
+                            pab_cross_interval=2, cfg_cache_interval=4),
+        "pab244_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                            pab_cross_interval=4, cfg_cache_interval=4),
+    }
+    for name, kw in schedules.items():
+        approx = run(SampleSpec(**base, **kw))
+        diff = approx - exact
+        rel_l2 = float(np.linalg.norm(diff) / (np.linalg.norm(exact) + 1e-12))
+        psnr = 10 * np.log10(1.0 / max(float(np.mean(diff ** 2)), 1e-20))
+        assert rel_l2 <= 0.15, f"{name} drifted: rel_l2={rel_l2:.4f}"
+        assert psnr >= 22.0, f"{name} drifted: psnr={psnr:.2f} dB"
+        # the schedule must be live — identical output means the opt-in
+        # approximation flags silently stopped reaching the sampler
+        assert rel_l2 > 1e-4, f"{name} inactive (output identical to exact)"
 
 
 def test_pab_warmup_full_equals_exact():
