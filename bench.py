@@ -28,8 +28,9 @@ the pipeline. Cold compiles of the PAB/stacked step-variant graphs cost
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 ``published: {}``). We compare against an estimated PyTorch+xformers A100
-figure for the same workload: ~15 s/clip → ~1.07 frames/s (50 UNet fwd at
-~250 ms + ~2 s VAE/overhead). The driver target is ≥5× that per chip.
+figure for the same workload: ~15 s/clip → ~1.07 frames/s. The full
+derivation with itemized assumptions and sensitivity bounds lives in
+BASELINE.md, "The A100 denominator". The driver target is ≥5× that per chip.
 """
 
 from __future__ import annotations
@@ -133,8 +134,11 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     if on_tpu:
         frames, height, width, steps, n_iters = 16, 512, 512, 25, 3
-    else:  # CPU sanity fallback (config 1): tiny workload
-        frames, height, width, steps, n_iters = 8, 256, 256, 3, 1
+    else:  # CPU sanity fallback (config 1): tiny workload. steps must be
+        # >= cfg_cache warmup (2) + the composed lcm period (4) so the
+        # pab244_cfg4 opt-in variant actually exercises its schedule
+        # instead of degenerating to all-exact steps (ADVICE r03).
+        frames, height, width, steps, n_iters = 8, 256, 256, 8, 1
 
     pipe = build_pipeline(dtype)
     b = 1
@@ -188,7 +192,8 @@ def main():
         ]
     else:
         result["optin_skipped"] = [
-            "pab_222, pab2_cfg4 (FYC_BENCH_FULL unset)"]
+            "pab_222 (FYC_BENCH_FULL unset)",
+            "pab2_cfg4 (FYC_BENCH_FULL unset)"]
 
     for key, vspec, it in variants:
         elapsed = time.perf_counter() - t_start

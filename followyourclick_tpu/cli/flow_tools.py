@@ -42,7 +42,42 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--size", type=int, nargs=2, default=[448, 1024])
     b.add_argument("--warmup", type=int, default=5)
     b.add_argument("--max-iter", type=int, default=50)
+
+    # FLOPs/params counter (role of mmflow's get_flops analysis tool,
+    # absent from the vendored tree): XLA's own cost model via
+    # jax.jit(...).lower(...).cost_analysis() — exact for the compiled
+    # graph, no per-layer hook bookkeeping needed.
+    fl = sub.add_parser("flops")
+    fl.add_argument("--config", type=str, default=None,
+                    help="flow estimator YAML (mutually exclusive w/ --unet)")
+    fl.add_argument("--unet", action="store_true",
+                    help="count the flagship UNet3D forward instead")
+    fl.add_argument("--size", type=int, nargs=2, default=[448, 1024],
+                    help="input H W (flow: image size; unet: pixel size/8 "
+                         "latent grid)")
+    fl.add_argument("--frames", type=int, default=16,
+                    help="video length for --unet")
     return p
+
+
+def count_flops(fn, *example_args) -> dict:
+    """FLOPs / bytes-accessed of one jitted call, from XLA's cost model."""
+    import jax
+
+    lowered = jax.jit(fn).lower(*example_args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return {"gflops": round(float(cost.get("flops", 0.0)) / 1e9, 3),
+            "bytes_accessed_gb": round(
+                float(cost.get("bytes accessed", 0.0)) / 2**30, 3)}
+
+
+def _param_count(variables) -> int:
+    import jax
+
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(variables)
+               if hasattr(x, "size"))
 
 
 def _build_model(config_path: str):
@@ -69,6 +104,50 @@ def main(argv: Optional[List[str]] = None) -> None:
     import numpy as np
 
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "flops":
+        if args.unet:
+            from followyourclick_tpu.config import InferenceConfig
+            from followyourclick_tpu.models.unet3d import (
+                UNet3DConditionModel,
+                UNetConditioning,
+            )
+
+            ucfg = InferenceConfig().unet
+            unet = UNet3DConditionModel(ucfg)
+            h, w = args.size[0] // 8, args.size[1] // 8
+            b, f = 2, args.frames  # CFG batch
+            sample = jnp.zeros((b, f, h, w, 9), jnp.bfloat16)
+            tsteps = jnp.zeros((b,), jnp.int32)
+            cond = UNetConditioning(
+                context=jnp.zeros((b, 77, ucfg.cross_attention_dim),
+                                  jnp.bfloat16),
+                fps=jnp.full((b,), 8.0), motion_score=jnp.full((b,), 20.0))
+            variables = jax.eval_shape(unet.init, jax.random.PRNGKey(0),
+                                       sample, tsteps, cond)
+            params = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), variables)["params"]
+            out = count_flops(
+                lambda p, x, t: unet.apply({"params": p}, x, t, cond),
+                params, sample, tsteps)
+            out.update(model="UNet3DConditionModel",
+                       params_m=round(_param_count(params) / 1e6, 2),
+                       input=f"{b}x{f}x{h}x{w}x9 (latent, CFG batch)")
+        else:
+            if args.config is None:
+                raise SystemExit("flops: pass --config or --unet")
+            model, _ = _build_model(args.config)
+            h, w = args.size
+            img = jnp.zeros((1, h, w, 3), jnp.float32)
+            variables = model.init(jax.random.PRNGKey(0), img, img)
+            out = count_flops(
+                lambda v, a, b_: model.apply(v, a, b_), variables, img, img)
+            out.update(model=type(model).__name__,
+                       params_m=round(_param_count(variables) / 1e6, 2),
+                       input=f"1x{h}x{w}x3 pair")
+        print(json.dumps(out))
+        return
+
     model, cfg = _build_model(args.config)
 
     if args.cmd == "train":

@@ -84,6 +84,11 @@ class SampleSpec:
     # exact full-compute steps before the reuse schedule starts (early
     # denoise steps set global structure; PAB-family methods keep them exact)
     pab_warmup_steps: int = flax.struct.field(pytree_node=False, default=0)
+    # trailing full-CFG exact steps when cfg_cache_interval > 1 (the final
+    # denoise steps set output detail; 2 mirrors the original recompute
+    # guard). Sweepable — see docs/PERF.md "Serving quality budget".
+    cfg_final_exact_steps: int = flax.struct.field(pytree_node=False,
+                                                   default=2)
 
 
 class AnimationPipeline:
@@ -399,7 +404,8 @@ class AnimationPipeline:
                 # both branches produce (uncond, text) of shape (b,f,h,w,4);
                 # the cheap branch runs the UNet on the cond half only
                 recompute = jnp.logical_or(
-                    i % spec.cfg_cache_interval == 0, i >= S - 2)
+                    i % spec.cfg_cache_interval == 0,
+                    i >= S - spec.cfg_final_exact_steps)
 
                 def fresh(_):
                     pred = self._unet_apply(params["unet"], x, t_batch, cond)
@@ -563,12 +569,19 @@ class AnimationPipeline:
             lambda s: jnp.zeros(s.shape, s.dtype), dict(pab_shapes["pab"]))
         uncond0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
 
-        # with CFG caching composed in, keep the last two steps exact
-        # (mirrors the exact path's `i >= S - 2` recompute guard)
-        scan_steps = max(S - 2, 0) if cfg_k > 1 else S
-        warmup = min(max(0, spec.pab_warmup_steps), S)
-        n_periods = max(scan_steps - warmup, 0) // period
-        tail = S - warmup - n_periods * period
+        # with CFG caching composed in, keep the last cfg_final_exact_steps
+        # steps exact (mirrors the exact path's recompute guard)
+        final_exact = (min(max(0, spec.cfg_final_exact_steps), S)
+                       if cfg_k > 1 else 0)
+        warmup = min(max(0, spec.pab_warmup_steps), S - final_exact)
+        body = S - warmup - final_exact
+        n_periods = body // period
+        # leftover body steps run as a PREFIX of the period schedule
+        # (j = 0..tail-1): position 0 is a full record step, the rest follow
+        # their phase — strictly less compute than the former all-exact tail
+        # at ZERO extra compile cost (the prefix positions reuse the same
+        # (mode, half) UNet bodies the period loop already compiled)
+        tail = body - n_periods * period
 
         cache, uncond = cache0, uncond0
         for j in range(warmup):  # exact full-compute warmup steps
@@ -585,10 +598,14 @@ class AnimationPipeline:
         (latents, cache, uncond), _ = jax.lax.scan(
             period_body, (latents, cache, uncond),
             warmup + jnp.arange(n_periods) * period)
-        for j in range(tail):  # leftover steps: exact full compute
+        for j in range(tail):  # period-prefix phase positions
             latents, cache, uncond = pab_step(
                 latents, cache, uncond,
-                jnp.asarray(warmup + n_periods * period + j), 0)
+                jnp.asarray(warmup + n_periods * period + j), j)
+        for j in range(final_exact):  # trailing exact full-CFG steps
+            latents, cache, uncond = pab_step(
+                latents, cache, uncond,
+                jnp.asarray(warmup + n_periods * period + tail + j), 0)
         return latents
 
     def decode_latents(self, params, latents: jnp.ndarray,

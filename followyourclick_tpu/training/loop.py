@@ -51,12 +51,20 @@ def make_checkpoint_manager(directory: str, keep: int = 5):
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
 
+def _state_payload(state) -> dict:
+    """Checkpoint payload for either TrainState (full tree) or
+    PartitionedTrainState (trainable/frozen split)."""
+    if hasattr(state, "trainable"):
+        return {"trainable": state.trainable, "frozen": state.frozen,
+                "opt_state": state.opt_state, "step": state.step}
+    return {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+
+
 def save_checkpoint(manager, step: int, state) -> None:
     import orbax.checkpoint as ocp
 
-    manager.save(step, args=ocp.args.StandardSave(
-        {"params": state.params, "opt_state": state.opt_state,
-         "step": state.step}))
+    manager.save(step, args=ocp.args.StandardSave(_state_payload(state)))
 
 
 def restore_checkpoint(manager, state):
@@ -66,13 +74,11 @@ def restore_checkpoint(manager, state):
     latest = manager.latest_step()
     if latest is None:
         return state, 0
-    target = {"params": state.params, "opt_state": state.opt_state,
-              "step": state.step}
+    target = _state_payload(state)
     restored = manager.restore(latest,
                                args=ocp.args.StandardRestore(target))
-    state = state.replace(params=restored["params"],
-                          opt_state=restored["opt_state"],
-                          step=restored["step"])
+    kwargs = {k: restored[k] for k in target}
+    state = state.replace(**kwargs)
     return state, int(latest)
 
 

@@ -140,18 +140,11 @@ def encode_batch(vae: AutoencoderKL, vae_params, video: jnp.ndarray,
     return z.reshape(b, f, h // 8, w // 8, 4) * 0.18215
 
 
-def train_step(
-    state: TrainState,
-    batch: TrainBatch,
-    rng: jax.Array,
-    *,
-    unet: UNet3DConditionModel,
-    text_encoder: CLIPTextModel,
-    text_params: dict,
-    sched: DDIMSchedule,
-    cfg: TrainConfig,
-) -> Tuple[TrainState, dict]:
-    """One v-prediction training step with masked-latent conditioning."""
+def _prepare_step_inputs(batch: TrainBatch, rng: jax.Array,
+                         sched: DDIMSchedule, cfg: TrainConfig,
+                         text_encoder: CLIPTextModel, text_params: dict):
+    """Shared forward-input construction: noising, v-target, first-frame
+    mask conditioning with random corruption, text context."""
     b, f, h, w, _ = batch.latents.shape
     rng_t, rng_noise, rng_rate, rng_corrupt = jax.random.split(rng, 4)
 
@@ -182,19 +175,187 @@ def train_step(
     context, _ = text_encoder.apply({"params": text_params}, batch.input_ids)
     cond = UNetConditioning(context=context, fps=batch.fps,
                             motion_score=batch.motion_score)
+    return model_in, timesteps, cond, target
+
+
+def _unet_apply(unet: UNet3DConditionModel, cfg: TrainConfig):
+    apply = unet.apply
+    if cfg.gradient_checkpointing:
+        apply = jax.checkpoint(
+            unet.apply, policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=())
+    return apply
+
+
+def train_step(
+    state: TrainState,
+    batch: TrainBatch,
+    rng: jax.Array,
+    *,
+    unet: UNet3DConditionModel,
+    text_encoder: CLIPTextModel,
+    text_params: dict,
+    sched: DDIMSchedule,
+    cfg: TrainConfig,
+) -> Tuple[TrainState, dict]:
+    """One v-prediction training step with masked-latent conditioning."""
+    model_in, timesteps, cond, target = _prepare_step_inputs(
+        batch, rng, sched, cfg, text_encoder, text_params)
+    apply = _unet_apply(unet, cfg)
 
     def loss_fn(params):
-        apply = unet.apply
-        if cfg.gradient_checkpointing:
-            apply = jax.checkpoint(
-                unet.apply, policy=jax.checkpoint_policies.nothing_saveable,
-                static_argnums=())
         pred = apply({"params": params}, model_in, timesteps, cond)
         loss = jnp.mean(
             (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
         return loss
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss,
+               "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics
+
+
+# ── Partitioned training: grads over the trainable subtree only ──────────
+#
+# The reference recipe freezes everything except motion_modules + conv_in +
+# the condition embeds (trainable_modules filter in
+# configs/training/training_14M_448x256_...yaml). The full-tree TrainState
+# above still pays fp32 grads + AdamW moments for FROZEN params (optax
+# multi_transform inits every sub-transform over the full tree), which is
+# ~9 GB of pure waste on the 1.28B-param flagship UNet — the reason the
+# reference training shape (448×256, 16-24 frames) OOMed on one 16 GB chip
+# (docs/PERF.md "Training throughput"). Here: jax.grad is taken over the
+# trainable subtree ONLY, frozen params are held in bf16, and optimizer
+# state exists only for trainable leaves.
+
+def _is_none(x):
+    return x is None
+
+
+def partition_params(params: dict, mask: dict) -> Tuple[dict, dict]:
+    """Split one param tree into (trainable, frozen) trees of identical
+    structure with ``None`` at the complementary positions."""
+    trainable = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def merge_params(trainable: dict, frozen: dict) -> dict:
+    """Inverse of :func:`partition_params`."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t, trainable, frozen,
+        is_leaf=_is_none)
+
+
+@flax.struct.dataclass
+class PartitionedTrainState:
+    """Train state holding only the trainable subtree in fp32 + optimizer
+    state; frozen params ride along in half precision, untouched by
+    updates."""
+
+    step: jnp.ndarray
+    trainable: dict          # fp32 master copy of trainable leaves
+    frozen: dict             # frozen leaves (bf16 by default), never updated
+    opt_state: optax.OptState = flax.struct.field(pytree_node=True)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state,
+                                          self.trainable)
+        return self.replace(
+            step=self.step + 1,
+            trainable=optax.apply_updates(self.trainable, updates),
+            opt_state=new_opt)
+
+    @property
+    def params(self) -> dict:
+        """Full merged tree (for checkpointing / validation sampling)."""
+        return merge_params(self.trainable, self.frozen)
+
+
+def create_partitioned_train_state(
+        params: dict, cfg: TrainConfig,
+        frozen_dtype=jnp.bfloat16) -> PartitionedTrainState:
+    """Build the memory-lean state for the reference freeze recipe.
+
+    ``frozen_dtype=jnp.float32`` reproduces the full-tree ``TrainState``
+    update exactly (pinned by tests/test_training.py); bf16 is the
+    production setting (frozen weights are inference-only in the forward).
+    """
+    if cfg.use_spatial_temporal_separate_lr:
+        # "all parameters train" mode — partitioning buys nothing; the
+        # trainable tree is the full tree and frozen is empty.
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+    else:
+        mask = trainable_mask(params, tuple(cfg.trainable_modules))
+    trainable, frozen = partition_params(params, mask)
+    if frozen_dtype is not None:
+        frozen = jax.tree_util.tree_map(
+            lambda p: p.astype(frozen_dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, frozen)
+
+    def adamw(lr):
+        return optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+
+    if cfg.use_spatial_temporal_separate_lr:
+        temporal = trainable_mask(trainable, ("motion_modules",))
+        labels = jax.tree_util.tree_map(
+            lambda m: "temporal" if m else "spatial", temporal)
+        spatial_lr = (cfg.spatial_learning_rate
+                      if cfg.spatial_learning_rate is not None
+                      else cfg.learning_rate)
+        inner = optax.multi_transform(
+            {"temporal": adamw(cfg.learning_rate),
+             "spatial": adamw(spatial_lr)}, labels)
+    else:
+        inner = adamw(cfg.learning_rate)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
+    return PartitionedTrainState(
+        step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
+        opt_state=tx.init(trainable), tx=tx)
+
+
+def train_step_partitioned(
+    state: PartitionedTrainState,
+    batch: TrainBatch,
+    rng: jax.Array,
+    *,
+    unet: UNet3DConditionModel,
+    text_encoder: CLIPTextModel,
+    text_params: dict,
+    sched: DDIMSchedule,
+    cfg: TrainConfig,
+) -> Tuple[PartitionedTrainState, dict]:
+    """Same math as :func:`train_step`, but jax.grad runs over the trainable
+    subtree only — frozen params enter the forward as constants (no grad
+    memory, no optimizer state). With bf16 frozen params the forward is
+    mixed-precision: trainable leaves are cast to the frozen dtype so the
+    whole network computes in one dtype (master fp32 copies keep full
+    update precision, the standard mixed-precision recipe)."""
+    model_in, timesteps, cond, target = _prepare_step_inputs(
+        batch, rng, sched, cfg, text_encoder, text_params)
+    apply = _unet_apply(unet, cfg)
+
+    frozen_leaves = [f for f in jax.tree_util.tree_leaves(state.frozen)
+                     if jnp.issubdtype(f.dtype, jnp.floating)]
+    compute_dtype = frozen_leaves[0].dtype if frozen_leaves else None
+
+    def loss_fn(trainable):
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            trainable = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, trainable)
+        params = merge_params(trainable, state.frozen)
+        pred = apply({"params": params}, model_in, timesteps, cond)
+        loss = jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
     new_state = state.apply_gradients(grads)
     metrics = {"loss": loss,
                "grad_norm": optax.global_norm(grads)}

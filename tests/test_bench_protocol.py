@@ -62,7 +62,11 @@ def test_headline_emitted_first_and_every_line_parseable(
     # last line carries the opt-in results and stays driver-parseable
     last = lines[-1]
     assert "optin_cfg_cache3_fps" in last
-    assert "optin_pab_222_fps" in last
+    assert "optin_pab244_cfg4_fps" in last  # the default composed schedule
+    # the uniform PAB variants are FYC_BENCH_FULL-only, recorded one skip
+    # entry per variant key (ADVICE r03)
+    assert any(s.startswith("pab_222 ") for s in last["optin_skipped"])
+    assert any(s.startswith("pab2_cfg4 ") for s in last["optin_skipped"])
     assert last["value"] == lines[0]["value"]
 
 
@@ -92,7 +96,7 @@ def test_budget_exhaustion_skips_variants_but_keeps_headline(
     last = lines[-1]
     assert "optin_cfg_cache3_fps" not in last
     skipped = " ".join(last["optin_skipped"])
-    assert "cfg_cache3" in skipped and "pab_222" in skipped
+    assert "cfg_cache3" in skipped and "pab244_cfg4" in skipped
 
 
 def test_optin_failure_downgrades_to_skip(fake_bench, capsys, monkeypatch):
@@ -111,4 +115,4 @@ def test_optin_failure_downgrades_to_skip(fake_bench, capsys, monkeypatch):
     last = lines[-1]
     assert lines[0]["value"] > 0
     assert any("cfg_cache3" in s for s in last["optin_skipped"])
-    assert "optin_pab_222_fps" in last  # later variants still ran
+    assert "optin_pab244_cfg4_fps" in last  # later variants still ran

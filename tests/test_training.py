@@ -182,6 +182,128 @@ def test_separate_lr_trains_all_params(setup):
     assert moved_spatial == 0
 
 
+def test_partitioned_step_matches_full_step(setup):
+    """With fp32 frozen params and clipping inactive, the partitioned step
+    (grads over the trainable subtree only) reproduces the full-tree
+    train_step update exactly. (With clipping ACTIVE they legitimately
+    differ: the full-tree state's global norm includes frozen-param grads
+    that are then zeroed; the partitioned step clips over trainable grads
+    only — matching the reference recipe, which calls clip_grad_norm_ on
+    the trainable params.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.training.train_step import (
+        create_partitioned_train_state,
+        create_train_state,
+        train_step,
+        train_step_partitioned,
+    )
+
+    s = setup
+    tc = dataclasses.replace(s["tc"], max_grad_norm=1e9)
+    full = create_train_state(s["state"].params, tc)
+    part = create_partitioned_train_state(
+        s["state"].params, tc, frozen_dtype=jnp.float32)
+
+    kw = dict(unet=s["unet"], text_encoder=s["text"],
+              text_params=s["text_params"], sched=s["sched"], cfg=tc)
+    rng = jax.random.PRNGKey(7)
+    full2, m_full = train_step(full, s["batch"], rng, **kw)
+    part2, m_part = train_step_partitioned(part, s["batch"], rng, **kw)
+
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_part["loss"]),
+                               rtol=1e-6)
+    merged = part2.params
+    for path, leaf in jax.tree_util.tree_flatten_with_path(full2.params)[0]:
+        other = merged
+        for k in path:
+            other = other[k.key]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(other),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=str(path))
+
+
+def test_partitioned_state_memory_layout(setup):
+    """bf16 frozen leaves, optimizer state only over trainable leaves, and
+    a bf16-frozen step runs finite without touching frozen params."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.training.train_step import (
+        create_partitioned_train_state,
+        train_step_partitioned,
+        trainable_mask,
+    )
+
+    s = setup
+    state = create_partitioned_train_state(s["state"].params, s["tc"])
+
+    frozen_leaves = jax.tree_util.tree_leaves(state.frozen)
+    assert frozen_leaves, "freeze recipe must leave frozen params"
+    assert all(l.dtype == jnp.bfloat16 for l in frozen_leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+    n_trainable = len(jax.tree_util.tree_leaves(state.trainable))
+    mask = trainable_mask(s["state"].params, tuple(s["tc"].trainable_modules))
+    n_expected = sum(jax.tree_util.tree_leaves(mask))
+    assert n_trainable == n_expected
+    # AdamW mu moments exist ONLY for trainable leaves (the ~9 GB saving)
+    mus = [l for l in jax.tree_util.tree_leaves(state.opt_state)]
+    total_param_leaves = len(jax.tree_util.tree_leaves(s["state"].params))
+    assert n_trainable < total_param_leaves
+    n_moment_arrays = sum(1 for l in mus if hasattr(l, "shape") and l.ndim)
+    # chain(clip, adamw): mu + nu per trainable leaf
+    assert n_moment_arrays <= 2 * n_trainable
+
+    new_state, metrics = train_step_partitioned(
+        state, s["batch"], jax.random.PRNGKey(3), unet=s["unet"],
+        text_encoder=s["text"], text_params=s["text_params"],
+        sched=s["sched"], cfg=s["tc"])
+    assert np.isfinite(float(metrics["loss"]))
+    for old, new in zip(jax.tree_util.tree_leaves(state.frozen),
+                        jax.tree_util.tree_leaves(new_state.frozen)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    # trainable moved (conv_in has nonzero grads at step 1)
+    b = np.asarray(state.trainable["conv_in"]["conv"]["kernel"])
+    a = np.asarray(new_state.trainable["conv_in"]["conv"]["kernel"])
+    assert np.abs(a - b).max() > 0
+
+
+def test_partitioned_checkpoint_roundtrip(setup, tmp_path):
+    """Orbax save/restore works for the split trainable/frozen payload."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.training.loop import (
+        make_checkpoint_manager,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from followyourclick_tpu.training.train_step import (
+        create_partitioned_train_state,
+    )
+
+    s = setup
+    state = create_partitioned_train_state(s["state"].params, s["tc"])
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    manager = make_checkpoint_manager(str(tmp_path / "ckpt"), keep=1)
+    save_checkpoint(manager, 7, state)
+    manager.wait_until_finished()
+
+    fresh = create_partitioned_train_state(s["state"].params, s["tc"])
+    restored, step = restore_checkpoint(manager, fresh)
+    assert step == 7
+    for old, new in zip(jax.tree_util.tree_leaves(state.trainable),
+                        jax.tree_util.tree_leaves(restored.trainable)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    for old, new in zip(jax.tree_util.tree_leaves(state.frozen),
+                        jax.tree_util.tree_leaves(restored.frozen)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
 def test_validation_schedule():
     """validation_fn fires at validation_steps intervals and at the one-off
     steps in validation_steps_tuple (reference validation_steps_tuple)."""

@@ -1,0 +1,124 @@
+"""Serving-schedule sweep: quality (drift vs exact) × modeled throughput.
+
+Runs the candidate composed PAB∘cfg-cache schedules through the real
+sampler at a CPU-feasible shape (tiny random UNet, 8 frames / 128 px /
+25 steps — the same harness tests/test_pab.py gates on) and ranks them by
+modeled v5e throughput under a rel-l2 quality cap. The winners then get a
+real TPU measurement via bench.py variants.
+
+Usage:
+  JAX_PLATFORMS=cpu python tools/serving_sweep.py [--cap 0.10] [--steps 25]
+  python tools/serving_sweep.py --shape flagship   # on-TPU, slow: one
+      exact + one schedule run at 16f/512px to bound drift at serving shape
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+SCHEDULES = {
+    # name: SampleSpec overrides
+    "cfg_cache3": dict(cfg_cache_interval=3),
+    "pab244_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                        pab_cross_interval=4, cfg_cache_interval=4),
+    "pab244_cfg4_w2": dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                           pab_cross_interval=4, cfg_cache_interval=4,
+                           pab_warmup_steps=2),
+    "pab244_cfg4_w4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                           pab_cross_interval=4, cfg_cache_interval=4,
+                           pab_warmup_steps=4),
+    "pab366_cfg6": dict(pab_spatial_interval=3, pab_temporal_interval=6,
+                        pab_cross_interval=6, cfg_cache_interval=6),
+    "pab366_cfg6_w2": dict(pab_spatial_interval=3, pab_temporal_interval=6,
+                           pab_cross_interval=6, cfg_cache_interval=6,
+                           pab_warmup_steps=2),
+    "pab366_cfg6_w4": dict(pab_spatial_interval=3, pab_temporal_interval=6,
+                           pab_cross_interval=6, cfg_cache_interval=6,
+                           pab_warmup_steps=4),
+    "pab266_cfg6_w2": dict(pab_spatial_interval=2, pab_temporal_interval=6,
+                           pab_cross_interval=6, cfg_cache_interval=6,
+                           pab_warmup_steps=2),
+    "pab366_cfg6_w2_fe1": dict(pab_spatial_interval=3,
+                               pab_temporal_interval=6,
+                               pab_cross_interval=6, cfg_cache_interval=6,
+                               pab_warmup_steps=2, cfg_final_exact_steps=1),
+    "pab488_cfg8_w2": dict(pab_spatial_interval=4, pab_temporal_interval=8,
+                           pab_cross_interval=8, cfg_cache_interval=8,
+                           pab_warmup_steps=2),
+    "pab488_cfg8_w4": dict(pab_spatial_interval=4, pab_temporal_interval=8,
+                           pab_cross_interval=8, cfg_cache_interval=8,
+                           pab_warmup_steps=4),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=float, default=0.10,
+                    help="rel-l2 quality cap for the Pareto pick")
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--shape", choices=["tiny", "flagship"], default="tiny")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of schedule names to run")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+    from followyourclick_tpu.utils.quality import (
+        build_quality_pipeline,
+        drift_metrics,
+        estimate_fps,
+        run_schedule,
+        schedule_step_classes,
+    )
+
+    if args.shape == "tiny":
+        frames, px = 8, 128
+        dtype = jnp.float32
+    else:
+        frames, px = 16, 512
+        import jax
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    hl = px // 8
+
+    t0 = time.time()
+    pipe = build_quality_pipeline(args.shape, dtype=dtype)
+    print(f"# pipeline built in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    base = dict(video_length=frames, height=px, width=px,
+                num_inference_steps=args.steps, guidance_scale=8.0,
+                use_interpolate_noise=True)
+    t0 = time.time()
+    exact = run_schedule(pipe, SampleSpec(**base), frames, (hl, hl))
+    print(f"# exact run in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    names = args.only if args.only else list(SCHEDULES)
+    rows = []
+    for name in names:
+        kw = SCHEDULES[name]
+        spec = SampleSpec(**base, **kw)
+        t0 = time.time()
+        approx = run_schedule(pipe, spec, frames, (hl, hl))
+        dt = time.time() - t0
+        m = drift_metrics(approx, exact)
+        flagship_spec = SampleSpec(video_length=16, height=512, width=512,
+                                   num_inference_steps=25,
+                                   guidance_scale=8.0, **kw)
+        row = dict(schedule=name, **m,
+                   est_v5e_fps=round(estimate_fps(flagship_spec), 2),
+                   step_classes=schedule_step_classes(flagship_spec),
+                   run_s=round(dt, 1))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    ok = [r for r in rows if r["rel_l2"] <= args.cap]
+    ok.sort(key=lambda r: -r["est_v5e_fps"])
+    print(json.dumps({"pareto_best_under_cap": ok[:3], "cap": args.cap}))
+
+
+if __name__ == "__main__":
+    main()
