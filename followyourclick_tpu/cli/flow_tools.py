@@ -65,7 +65,14 @@ def count_flops(fn, *example_args) -> dict:
     import jax
 
     lowered = jax.jit(fn).lower(*example_args)
-    cost = lowered.compile().cost_analysis()
+    try:
+        # HLO-level estimate — no device memory allocated (the flagship
+        # UNet at fp32 would OOM a 16 GB chip if we compiled for real)
+        cost = lowered.cost_analysis()
+    except Exception:
+        cost = None
+    if cost is None:  # some backends only cost post-compile
+        cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
     return {"gflops": round(float(cost.get("flops", 0.0)) / 1e9, 3),
@@ -114,7 +121,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             )
 
             ucfg = InferenceConfig().unet
-            unet = UNet3DConditionModel(ucfg)
+            unet = UNet3DConditionModel(ucfg, dtype=jnp.bfloat16)
             h, w = args.size[0] // 8, args.size[1] // 8
             b, f = 2, args.frames  # CFG batch
             sample = jnp.zeros((b, f, h, w, 9), jnp.bfloat16)
@@ -126,7 +133,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             variables = jax.eval_shape(unet.init, jax.random.PRNGKey(0),
                                        sample, tsteps, cond)
             params = jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), variables)["params"]
+                lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                                    if jnp.issubdtype(s.dtype, jnp.floating)
+                                    else s.dtype), variables)["params"]
             out = count_flops(
                 lambda p, x, t: unet.apply({"params": p}, x, t, cond),
                 params, sample, tsteps)

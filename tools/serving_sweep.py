@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCHEDULES = {
     # name: SampleSpec overrides
@@ -63,6 +66,13 @@ def main(argv=None):
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of schedule names to run")
     args = ap.parse_args(argv)
+
+    if args.shape == "tiny":
+        # force CPU in-process: this image's sitecustomize registers the
+        # axon TPU plugin at interpreter start, so the env var alone is
+        # not enough (see .claude/skills/verify/SKILL.md)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
