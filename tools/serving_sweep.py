@@ -54,6 +54,23 @@ SCHEDULES = {
     "pab488_cfg8_w4": dict(pab_spatial_interval=4, pab_temporal_interval=8,
                            pab_cross_interval=8, cfg_cache_interval=8,
                            pab_warmup_steps=4),
+    # deeper cfg-cache with fe=1: the cost model puts these ≥3.5 f/s on v5e
+    "pab488_cfg8_w2_fe1": dict(pab_spatial_interval=4,
+                               pab_temporal_interval=8,
+                               pab_cross_interval=8, cfg_cache_interval=8,
+                               pab_warmup_steps=2, cfg_final_exact_steps=1),
+    "pab488_cfg8_w4_fe1": dict(pab_spatial_interval=4,
+                               pab_temporal_interval=8,
+                               pab_cross_interval=8, cfg_cache_interval=8,
+                               pab_warmup_steps=4, cfg_final_exact_steps=1),
+    "pab366_cfg6_w4_fe1": dict(pab_spatial_interval=3,
+                               pab_temporal_interval=6,
+                               pab_cross_interval=6, cfg_cache_interval=6,
+                               pab_warmup_steps=4, cfg_final_exact_steps=1),
+    "pab266_cfg6_w2_fe1": dict(pab_spatial_interval=2,
+                               pab_temporal_interval=6,
+                               pab_cross_interval=6, cfg_cache_interval=6,
+                               pab_warmup_steps=2, cfg_final_exact_steps=1),
 }
 
 

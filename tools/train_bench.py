@@ -52,7 +52,11 @@ def main(argv=None):
         UNetConditioning,
     )
     from followyourclick_tpu.schedulers.ddim import DDIMSchedule
-    from followyourclick_tpu.training import train_step as ts
+    import importlib
+
+    # the package re-exports the train_step FUNCTION, which shadows the
+    # submodule in the ``import … as`` form — resolve the module directly
+    ts = importlib.import_module("followyourclick_tpu.training.train_step")
 
     b, f = args.batch, args.frames
     h, w = args.height // 8, args.width // 8
