@@ -125,6 +125,9 @@ def time_spec(pipe, spec, b, n_iters):
 
 def main():
     from followyourclick_tpu.pipelines.animation import SampleSpec
+    from followyourclick_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()  # reuse executables across bench/tool processes
 
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("FYC_BENCH_BUDGET_S", "1500"))

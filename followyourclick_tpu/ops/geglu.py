@@ -239,11 +239,28 @@ def fused_ln_geglu(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_r is None:
-        block_r = 1024
+        # 1024 rows won the v5e sweep at every UNet width in bf16; fp32
+        # (training) needs smaller blocks — see _fp32_block_r
+        block_r = 1024 if x.dtype.itemsize <= 2 else _fp32_block_r(
+            x.shape[-1], w2.shape[0])
     if fast_gating is None:
         fast_gating = _default_fast_gating(x)
     return _ln_geglu(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, residual,
                      block_r, interpret, fast_gating)
+
+
+def _fp32_block_r(c: int, inner: int) -> int:
+    """Row-block size that keeps the fp32 kernel under the scoped-VMEM
+    budget. At fp32 the resident weight panels double vs bf16 (78.6 MB at
+    C=1280), so the bf16-tuned 1024-row block overflows the 110 MB limit —
+    the training-path compile OOM at 448×256 (jvp of this kernel)."""
+    budget = 100 * 1024 * 1024
+    weights = (c * 2 * inner + inner * c) * 4
+    per_row = 2 * c * 4 + 3 * inner * 4  # x+out rows, h2/y intermediates
+    if weights >= budget:
+        return 128
+    return int(min(1024, max(128, ((budget - weights) // per_row
+                                   // 128) * 128)))
 
 
 def _default_fast_gating(x) -> bool:
@@ -289,9 +306,11 @@ def fused_geglu(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_r is None:
-        # 1024 rows won the v5e sweep at every UNet width; the fp32 h2 block
-        # (42 MB at inner=5120) + weight panels stay under the 110 MB budget
-        block_r = 1024
+        # 1024 rows won the v5e sweep at every UNet width in bf16 (the fp32
+        # h2 block, 42 MB at inner=5120, + bf16 weight panels stay under the
+        # 110 MB budget); fp32 weights double — see _fp32_block_r
+        block_r = 1024 if x.dtype.itemsize <= 2 else _fp32_block_r(
+            x.shape[-1], w2.shape[0])
     if fast_gating is None:
         fast_gating = _default_fast_gating(x)
     return _geglu(x, w1, b1, w2, b2, block_r, interpret, fast_gating)

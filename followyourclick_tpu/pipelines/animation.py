@@ -89,6 +89,15 @@ class SampleSpec:
     # guard). Sweepable — see docs/PERF.md "Serving quality budget".
     cfg_final_exact_steps: int = flax.struct.field(pytree_node=False,
                                                    default=2)
+    # OPT-IN refinement of cfg_cache: between uncond refreshes, linearly
+    # EXTRAPOLATE the cached uncond prediction from its last two refreshed
+    # values instead of holding it constant (first-order Richardson /
+    # TeaCache-style output forecast). Same compute and step classes as the
+    # plain cache — two extra latent-sized elementwise ops per reused step —
+    # but tracks the uncond branch's slow drift across timesteps, so deeper
+    # cache intervals stay inside the quality budget (docs/PERF.md).
+    cfg_cache_extrapolate: bool = flax.struct.field(pytree_node=False,
+                                                    default=False)
 
 
 class AnimationPipeline:
@@ -389,7 +398,7 @@ class AnimationPipeline:
                                      build_x, _step_noise, do_cfg, mult)
 
         def step(carry, i):
-            latents, cached_uncond, sstate = carry
+            latents, ustate, sstate = carry
             t = solver.timestep(i)
             x = solver.scale_model_input(latents, i)
             x_dup = dup(x) if (do_cfg and not share) else x
@@ -401,16 +410,27 @@ class AnimationPipeline:
                 x = x_dup
             t_batch = jnp.broadcast_to(t, (b if share else b * mult,))
             if cfg_cache:
-                # both branches produce (uncond, text) of shape (b,f,h,w,4);
-                # the cheap branch runs the UNet on the cond half only
+                # both branches produce (uncond, text, ustate) of identical
+                # structure; the cheap branch runs the UNet on the cond half
+                # only. ustate holds the cached uncond — and, under
+                # cfg_cache_extrapolate, the previous refresh too:
+                # (u1, u0, i1, i0) for the first-order forecast
+                # u1 + (i - i1)·(u1 - u0)/(i1 - i0).
                 recompute = jnp.logical_or(
                     i % spec.cfg_cache_interval == 0,
                     i >= S - spec.cfg_final_exact_steps)
+                extrap = spec.cfg_cache_extrapolate
 
                 def fresh(_):
                     pred = self._unet_apply(params["unet"], x, t_batch, cond)
                     u, c = jnp.split(pred, 2, axis=0)
-                    return u, c
+                    if extrap:
+                        u1, u0, i1, i0 = ustate
+                        first = i1 < 0  # no prior refresh: slope = 0
+                        return u, c, (u, jnp.where(first, u, u1),
+                                      i.astype(jnp.int32),
+                                      jnp.where(first, i, i1))
+                    return u, c, (u,)
 
                 def cached(_):
                     # cond-half-only UNet call: context sliced to its cond
@@ -423,15 +443,24 @@ class AnimationPipeline:
                             lambda a: a[b:] if hasattr(a, "shape")
                             and a.shape[:1] == (2 * b,) else a, cond),
                     )
-                    return cached_uncond, c
+                    if extrap:
+                        u1, u0, i1, i0 = ustate
+                        gap = jnp.maximum(i1 - i0, 1).astype(jnp.float32)
+                        age = (i - i1).astype(jnp.float32)
+                        u = (u1.astype(jnp.float32)
+                             + (u1.astype(jnp.float32)
+                                - u0.astype(jnp.float32)) * (age / gap)
+                             ).astype(u1.dtype)
+                        return u, c, ustate
+                    return ustate[0], c, ustate
 
-                uncond_pred, text_pred = jax.lax.cond(
+                uncond_pred, text_pred, new_ustate = jax.lax.cond(
                     recompute, fresh, cached, None)
                 noise_pred = uncond_pred + spec.guidance_scale * (
                     text_pred - uncond_pred)
                 new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                            eta=spec.eta, noise=_step_noise(i))
-                return (new_latents, uncond_pred, sstate), ()
+                return (new_latents, new_ustate, sstate), ()
 
             noise_pred = self._unet_apply(params["unet"], x, t_batch, cond)
 
@@ -471,7 +500,13 @@ class AnimationPipeline:
                 eta=spec.eta, noise=_step_noise(i))
             return (new_latents, carry[1], sstate), ()
 
-        init_carry = (latents, jnp.zeros((b, f, h, w, 4), latents.dtype),
+        u0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
+        if cfg_cache and spec.cfg_cache_extrapolate:
+            neg1 = jnp.full((), -1, jnp.int32)
+            ustate0 = (u0, u0, neg1, neg1)
+        else:
+            ustate0 = (u0,)
+        init_carry = (latents, ustate0,
                       solver.init_state((b, f, h, w, 4), latents.dtype))
         (latents, _, _), _ = jax.lax.scan(step, init_carry, jnp.arange(S))
         return latents
@@ -528,7 +563,11 @@ class AnimationPipeline:
             lambda a: a[b:] if hasattr(a, "shape")
             and a.shape[:1] == (2 * b,) else a, cond)
 
-        def pab_step(latents, cache, uncond_cached, i, j: int):
+        # cfg_cache_extrapolate: thread (u1, u0, i1, i0) through the schedule
+        # so reused steps apply the first-order uncond forecast (see step())
+        extrap = spec.cfg_cache_extrapolate and cfg_k > 1
+
+        def pab_step(latents, cache, ustate, i, j: int):
             t = sched.timesteps[i]
             full = j % cfg_k == 0
             if full:
@@ -539,7 +578,15 @@ class AnimationPipeline:
                     mutable=["pab"])
                 if do_cfg:
                     uncond_pred, text_pred = jnp.split(noise_pred, 2, axis=0)
-                    uncond_cached = uncond_pred
+                    if extrap:
+                        u1, _, i1, _ = ustate
+                        first = i1 < 0  # no prior refresh: slope = 0
+                        ustate = (uncond_pred,
+                                  jnp.where(first, uncond_pred, u1),
+                                  jnp.asarray(i, jnp.int32),
+                                  jnp.where(first, i, i1))
+                    else:
+                        ustate = (uncond_pred,)
                     noise_pred = uncond_pred + spec.guidance_scale * (
                         text_pred - uncond_pred)
             else:
@@ -550,11 +597,21 @@ class AnimationPipeline:
                     {"params": params["unet"], "pab": cache},
                     x, jnp.broadcast_to(t, (b,)), cond_half,
                     mutable=["pab"])
-                noise_pred = uncond_cached + spec.guidance_scale * (
-                    text_pred - uncond_cached)
+                if extrap:
+                    u1, u0, i1, i0 = ustate
+                    gap = jnp.maximum(i1 - i0, 1).astype(jnp.float32)
+                    age = (jnp.asarray(i, jnp.int32) - i1).astype(jnp.float32)
+                    u_use = (u1.astype(jnp.float32)
+                             + (u1.astype(jnp.float32)
+                                - u0.astype(jnp.float32)) * (age / gap)
+                             ).astype(u1.dtype)
+                else:
+                    u_use = ustate[0]
+                noise_pred = u_use + spec.guidance_scale * (
+                    text_pred - u_use)
             new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                        eta=spec.eta, noise=_step_noise(i))
-            return new_latents, dict(mut["pab"]), uncond_cached
+            return new_latents, dict(mut["pab"]), ustate
 
         # zero-init cache with the record variant's collection structure —
         # position 0 of every period recomputes all kinds, so the zeros are
@@ -567,7 +624,12 @@ class AnimationPipeline:
             params["unet"], x0, t0)
         cache0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), dict(pab_shapes["pab"]))
-        uncond0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
+        u0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
+        if extrap:
+            neg1 = jnp.full((), -1, jnp.int32)
+            uncond0 = (u0, u0, neg1, neg1)
+        else:
+            uncond0 = (u0,)
 
         # with CFG caching composed in, keep the last cfg_final_exact_steps
         # steps exact (mirrors the exact path's recompute guard)

@@ -398,3 +398,48 @@ def test_decode_latents_chunked_matches_batched():
         scanned = pipe.decode_latents(pipe.params, lat, frame_chunk=chunk)
         np.testing.assert_allclose(np.asarray(scanned), np.asarray(batched),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_cfg_cache_extrapolate_paths():
+    """cfg_cache_extrapolate (first-order uncond forecast) runs on BOTH
+    cfg-cache paths — the exact-scan lax.cond path and the PAB composed
+    static schedule — changes the output vs the plain hold-cache, and is
+    inert when no caching is active (pipelines/animation.py)."""
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+    from followyourclick_tpu.utils.quality import (
+        build_quality_pipeline,
+        run_schedule,
+    )
+
+    pipe = build_quality_pipeline("tiny")
+    frames, hl = 2, 8
+    base = dict(video_length=frames, height=64, width=64,
+                num_inference_steps=8, guidance_scale=7.5,
+                use_interpolate_noise=True)
+
+    exact = run_schedule(pipe, SampleSpec(**base), frames, (hl, hl))
+
+    # pure cfg-cache scan path
+    plain = run_schedule(pipe, SampleSpec(**base, cfg_cache_interval=3),
+                         frames, (hl, hl))
+    ex = run_schedule(
+        pipe, SampleSpec(**base, cfg_cache_interval=3,
+                         cfg_cache_extrapolate=True), frames, (hl, hl))
+    assert np.isfinite(ex).all()
+    assert np.abs(ex - plain).max() > 1e-6, "extrapolation inactive"
+
+    # composed PAB ∘ cfg-cache static schedule
+    pab_kw = dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                  pab_cross_interval=4, cfg_cache_interval=4)
+    plain_pab = run_schedule(pipe, SampleSpec(**base, **pab_kw),
+                             frames, (hl, hl))
+    ex_pab = run_schedule(
+        pipe, SampleSpec(**base, **pab_kw, cfg_cache_extrapolate=True),
+        frames, (hl, hl))
+    assert np.isfinite(ex_pab).all()
+    assert np.abs(ex_pab - plain_pab).max() > 1e-6, "extrapolation inactive"
+
+    # no caching → the flag must be a no-op (exact math)
+    noop = run_schedule(pipe, SampleSpec(**base, cfg_cache_extrapolate=True),
+                        frames, (hl, hl))
+    np.testing.assert_array_equal(noop, exact)

@@ -30,6 +30,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from followyourclick_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+
     import bench
     from followyourclick_tpu.pipelines.animation import SampleSpec
     from tools.serving_sweep import SCHEDULES

@@ -71,6 +71,28 @@ SCHEDULES = {
                                pab_temporal_interval=6,
                                pab_cross_interval=6, cfg_cache_interval=6,
                                pab_warmup_steps=2, cfg_final_exact_steps=1),
+    # first-order uncond forecast (SampleSpec.cfg_cache_extrapolate):
+    # same step classes/compute as the plain cache
+    "pab244_cfg4_ex": dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                           pab_cross_interval=4, cfg_cache_interval=4,
+                           cfg_cache_extrapolate=True),
+    "pab366_cfg6_ex": dict(pab_spatial_interval=3, pab_temporal_interval=6,
+                           pab_cross_interval=6, cfg_cache_interval=6,
+                           cfg_cache_extrapolate=True),
+    "pab366_cfg6_w2_ex": dict(pab_spatial_interval=3,
+                              pab_temporal_interval=6,
+                              pab_cross_interval=6, cfg_cache_interval=6,
+                              pab_warmup_steps=2, cfg_cache_extrapolate=True),
+    "pab488_cfg8_w2_ex": dict(pab_spatial_interval=4,
+                              pab_temporal_interval=8,
+                              pab_cross_interval=8, cfg_cache_interval=8,
+                              pab_warmup_steps=2, cfg_cache_extrapolate=True),
+    "pab488_cfg8_w2_fe1_ex": dict(pab_spatial_interval=4,
+                                  pab_temporal_interval=8,
+                                  pab_cross_interval=8, cfg_cache_interval=8,
+                                  pab_warmup_steps=2,
+                                  cfg_final_exact_steps=1,
+                                  cfg_cache_extrapolate=True),
 }
 
 
@@ -92,6 +114,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
+
+    from followyourclick_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
 
     from followyourclick_tpu.pipelines.animation import SampleSpec
     from followyourclick_tpu.utils.quality import (

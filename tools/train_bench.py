@@ -36,10 +36,22 @@ def main(argv=None):
     ap.add_argument("--full-tree", action="store_true",
                     help="use the fp32 full-tree TrainState instead "
                          "(expected to OOM at the reference shape)")
+    ap.add_argument("--mu-bf16", action="store_true",
+                    help="store AdamW's first moment in bf16 "
+                         "(TrainConfig.adam_mu_dtype) — frees ~0.8 GB; the "
+                         "lever that fits the 24-frame reference shape")
+    ap.add_argument("--fp32-compute", action="store_true",
+                    help="fp32 activations/weights in the forward (default "
+                         "is bf16 mixed precision: bf16 compute, fp32 "
+                         "master copies — the reference trains under AMP)")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    from followyourclick_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
 
     from followyourclick_tpu.config import (
         CLIPTextConfig,
@@ -63,7 +75,8 @@ def main(argv=None):
 
     ucfg = UNet3DConfig()
     tcfg = CLIPTextConfig()
-    unet = UNet3DConditionModel(ucfg)
+    compute_dtype = jnp.float32 if args.fp32_compute else jnp.bfloat16
+    unet = UNet3DConditionModel(ucfg, dtype=compute_dtype)
     text = CLIPTextModel(tcfg)
     rng = jax.random.PRNGKey(0)
 
@@ -82,7 +95,7 @@ def main(argv=None):
                             if jnp.issubdtype(s.dtype, jnp.floating)
                             else s.dtype), text_shapes)["params"]
 
-    tc = ts.TrainConfig()
+    tc = ts.TrainConfig(adam_mu_dtype="bfloat16" if args.mu_bf16 else None)
     if args.full_tree:
         state = ts.create_train_state(unet_params, tc)
         step = ts.train_step
@@ -129,7 +142,8 @@ def main(argv=None):
         "steps_per_s": round(1.0 / p50, 3),
         "frames_per_s_per_chip": round(b * f / p50, 2),
         "workload": f"{args.height}x{args.width}_{f}f_b{b}"
-                    + ("_fulltree" if args.full_tree else "_partitioned"),
+                    + ("_fulltree" if args.full_tree else "_partitioned")
+                    + ("_mubf16" if args.mu_bf16 else ""),
         "backend": jax.default_backend(),
     }))
 
