@@ -42,6 +42,15 @@ class PabMode:
     record_spatial: bool = False
     record_cross: bool = False
     record_temporal: bool = False
+    # DeepCache-style trunk reuse (arXiv 2312.00858 family): cache the
+    # output of the UNet "trunk" (down levels 1.., mid, up levels ..n-2) and
+    # on reuse steps run only the outermost level (conv_in, down block 0,
+    # the last up block, conv_out). The trunk output drifts slowly across
+    # adjacent timesteps while the outermost level carries most of the
+    # per-step detail — the same locality argument PAB makes per attention
+    # site, applied to the whole low-resolution pyramid.
+    reuse_deep: bool = False
+    record_deep: bool = False
     # The UNet is being applied to the COND half of the CFG batch only
     # (the sampler's static CFG-uncond caching, cfg_cache_interval, composed
     # with PAB): cached values are full-CFG-batch shaped, so reuse returns
@@ -58,7 +67,7 @@ class PabMode:
 
 def pab_site(
     mdl: nn.Module,
-    kind: str,  # "spatial" | "cross" | "temporal"
+    kind: str,  # "spatial" | "cross" | "temporal" | "deep"
     name: str,
     pab: Optional[PabMode],
     compute: Callable[[], jnp.ndarray],

@@ -174,9 +174,12 @@ class UNet3DConditionModel(nn.Module):
             return (cfg.use_motion_module
                     and res in tuple(cfg.motion_module_resolutions))
 
-        # ---- down path ----
-        down_res_samples = [sample]
-        for i, block_type in enumerate(cfg.down_block_types):
+        # ---- down / mid / up topology ----
+        rev_channels = list(reversed(cfg.block_out_channels))
+        n_skip = cfg.layers_per_block + 1  # skips per up block
+
+        def down_block(i: int, s):
+            block_type = cfg.down_block_types[i]
             in_ch = cfg.block_out_channels[max(i - 1, 0)]
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.down_block_types) - 1
@@ -186,47 +189,75 @@ class UNet3DConditionModel(nn.Module):
                 use_motion=use_motion(i) and not cfg.motion_module_decoder_only,
                 pab=self.pab, dtype=self.dtype, name=f"down_blocks_{i}")
             if block_type == "CrossAttnDownBlock3D":
-                sample, res = CrossAttnDownBlock3D(**common)(
-                    sample, emb, context, context_2, emb_frame0)
+                return CrossAttnDownBlock3D(**common)(
+                    s, emb, context, context_2, emb_frame0)
             elif block_type == "DownBlock3D":
-                sample, res = DownBlock3D(**common)(sample, emb, emb_frame0)
-            else:
-                raise ValueError(block_type)
-            down_res_samples.extend(res)
+                return DownBlock3D(**common)(s, emb, emb_frame0)
+            raise ValueError(block_type)
 
-        # ---- mid ----
-        if cfg.mid_block_type == "UNetMidBlock3DCrossAttn":
-            sample = UNetMidBlock3DCrossAttn(
-                config=cfg, in_channels=cfg.block_out_channels[-1],
-                use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
-                pab=self.pab, dtype=self.dtype, name="mid_block")(
-                sample, emb, context, context_2, emb_frame0)
-        else:
-            raise ValueError(cfg.mid_block_type)
-
-        # ---- up path ----
-        rev_channels = list(reversed(cfg.block_out_channels))
-        for i, block_type in enumerate(cfg.up_block_types):
+        def up_block(i: int, s, res):
+            block_type = cfg.up_block_types[i]
             is_final = i == len(cfg.up_block_types) - 1
             prev_ch = rev_channels[max(i - 1, 0)]
             out_ch = rev_channels[i]
             in_ch = rev_channels[min(i + 1, len(rev_channels) - 1)]
-            n_layers = cfg.layers_per_block + 1
-            res = down_res_samples[-n_layers:]
-            down_res_samples = down_res_samples[:-n_layers]
             level = len(cfg.block_out_channels) - 1 - i
             common = dict(
                 config=cfg, in_channels=in_ch, prev_output_channel=prev_ch,
-                out_channels=out_ch, num_layers=n_layers,
+                out_channels=out_ch, num_layers=n_skip,
                 add_upsample=not is_final, use_motion=use_motion(level),
                 pab=self.pab, dtype=self.dtype, name=f"up_blocks_{i}")
             if block_type == "CrossAttnUpBlock3D":
-                sample = CrossAttnUpBlock3D(**common)(
-                    sample, res, emb, context, context_2, emb_frame0)
+                return CrossAttnUpBlock3D(**common)(
+                    s, res, emb, context, context_2, emb_frame0)
             elif block_type == "UpBlock3D":
-                sample = UpBlock3D(**common)(sample, res, emb, emb_frame0)
-            else:
-                raise ValueError(block_type)
+                return UpBlock3D(**common)(s, res, emb, emb_frame0)
+            raise ValueError(block_type)
+
+        def mid(s):
+            if cfg.mid_block_type == "UNetMidBlock3DCrossAttn":
+                return UNetMidBlock3DCrossAttn(
+                    config=cfg, in_channels=cfg.block_out_channels[-1],
+                    use_motion=(cfg.use_motion_module
+                                and cfg.motion_module_mid_block),
+                    pab=self.pab, dtype=self.dtype, name="mid_block")(
+                    s, emb, context, context_2, emb_frame0)
+            raise ValueError(cfg.mid_block_type)
+
+        # Level 0 (the outermost, highest-resolution level) always runs.
+        down_res_samples = [sample]
+        sample, res = down_block(0, sample)
+        down_res_samples.extend(res)
+
+        def trunk(s):
+            """Down levels 1.., mid, and all up blocks but the last — the
+            DeepCache-cacheable interior (models/pab.py reuse_deep)."""
+            ds = list(down_res_samples)  # incl. level-0 downsample output
+            for i in range(1, len(cfg.down_block_types)):
+                s, res = down_block(i, s)
+                ds.extend(res)
+            s = mid(s)
+            for i in range(len(cfg.up_block_types) - 1):
+                res = ds[-n_skip:]
+                ds = ds[:-n_skip]
+                s = up_block(i, s, res)
+            return s
+
+        deep_site = (self.pab is not None
+                     and (self.pab.reuse_deep or self.pab.record_deep)
+                     and len(cfg.down_block_types) >= 2)
+        if deep_site:
+            from followyourclick_tpu.models.pab import pab_site
+
+            sample = pab_site(self, "deep", "deep_trunk", self.pab,
+                              lambda: trunk(sample))
+        else:
+            sample = trunk(sample)
+
+        # Last up block: consumes the level-0 skips (conv_in output + the
+        # level-0 layer outputs), which were computed above in either mode.
+        sample = up_block(len(cfg.up_block_types) - 1, sample,
+                          down_res_samples[:n_skip])
 
         # ---- output projection ----
         from followyourclick_tpu.models.layers import GroupNorm

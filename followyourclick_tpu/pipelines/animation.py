@@ -81,6 +81,14 @@ class SampleSpec:
     pab_cross_interval: int = flax.struct.field(pytree_node=False, default=1)
     pab_temporal_interval: int = flax.struct.field(pytree_node=False,
                                                   default=1)
+    # OPT-IN serving approximation (NOT reference behavior, off by default):
+    # DeepCache-style trunk reuse (models/pab.py reuse_deep, arXiv
+    # 2312.00858 family): the UNet interior (down levels 1.., mid, up levels
+    # ..n-2) recomputes every k-th step; in between only the outermost
+    # level runs against the cached trunk output. Composes with the PAB
+    # attention intervals (which then govern only the outermost level's
+    # sites on trunk-reuse steps) and with cfg_cache_interval. 1 = exact.
+    deep_cache_interval: int = flax.struct.field(pytree_node=False, default=1)
     # exact full-compute steps before the reuse schedule starts (early
     # denoise steps set global structure; PAB-family methods keep them exact)
     pab_warmup_steps: int = flax.struct.field(pytree_node=False, default=0)
@@ -98,6 +106,34 @@ class SampleSpec:
     # cache intervals stay inside the quality budget (docs/PERF.md).
     cfg_cache_extrapolate: bool = flax.struct.field(pytree_node=False,
                                                     default=False)
+
+
+def _as_plain_dict(x):
+    """Recursively normalize Mapping nodes (e.g. FrozenDict) to plain dicts
+    so merged and unmerged cache subtrees share one pytree node type."""
+    from collections.abc import Mapping
+
+    if isinstance(x, Mapping):
+        return {k: _as_plain_dict(v) for k, v in x.items()}
+    return x
+
+
+def _merge_cache(old, new):
+    """Overlay a step's mutated "pab" collection onto the carried cache.
+
+    Step variants that skip whole modules (DeepCache trunk reuse) return a
+    mutated collection that is a subtree of the full cache; the untouched
+    entries must carry forward so every step yields the same scan-carry
+    tree structure."""
+    from collections.abc import Mapping
+
+    if isinstance(old, Mapping) and isinstance(new, Mapping):
+        out = {k: _as_plain_dict(v) for k, v in old.items()}
+        for k, v in new.items():
+            out[k] = (_merge_cache(out[k], v) if k in out
+                      else _as_plain_dict(v))
+        return out
+    return _as_plain_dict(new)
 
 
 class AnimationPipeline:
@@ -382,7 +418,8 @@ class AnimationPipeline:
 
         pab_on = (spec.pab_spatial_interval > 1
                   or spec.pab_cross_interval > 1
-                  or spec.pab_temporal_interval > 1)
+                  or spec.pab_temporal_interval > 1
+                  or spec.deep_cache_interval > 1)
         if pab_on or cfg_cache:
             assert spec.scheduler == "ddim", (
                 "the PAB / cfg-cache serving approximations run on the DDIM "
@@ -532,13 +569,15 @@ class AnimationPipeline:
         S = spec.num_inference_steps
         intervals = dict(spatial=max(1, spec.pab_spatial_interval),
                          cross=max(1, spec.pab_cross_interval),
-                         temporal=max(1, spec.pab_temporal_interval))
+                         temporal=max(1, spec.pab_temporal_interval),
+                         deep=max(1, spec.deep_cache_interval))
         cfg_k = (spec.cfg_cache_interval
                  if do_cfg and spec.cfg_cache_interval > 1 else 1)
         period = math.lcm(cfg_k, *intervals.values())
         rec = PabMode(record_spatial=intervals["spatial"] > 1,
                       record_cross=intervals["cross"] > 1,
-                      record_temporal=intervals["temporal"] > 1)
+                      record_temporal=intervals["temporal"] > 1,
+                      record_deep=intervals["deep"] > 1)
 
         def mode_at(j: int, half: bool = False) -> PabMode:
             return _dc.replace(
@@ -548,7 +587,9 @@ class AnimationPipeline:
                 reuse_cross=(intervals["cross"] > 1
                              and j % intervals["cross"] != 0),
                 reuse_temporal=(intervals["temporal"] > 1
-                                and j % intervals["temporal"] != 0))
+                                and j % intervals["temporal"] != 0),
+                reuse_deep=(intervals["deep"] > 1
+                            and j % intervals["deep"] != 0))
 
         unets = {}
 
@@ -611,7 +652,12 @@ class AnimationPipeline:
                     text_pred - u_use)
             new_latents, _ = ddim_step(sched, noise_pred, i, latents,
                                        eta=spec.eta, noise=_step_noise(i))
-            return new_latents, dict(mut["pab"]), ustate
+            # merge over the carried cache: a trunk-reuse step (reuse_deep)
+            # never executes the trunk-interior attention sites, so its
+            # mutated collection is a SUBTREE of the full cache — entries it
+            # did not touch carry forward unchanged, keeping the scan-carry
+            # tree structure identical across step variants
+            return new_latents, _merge_cache(cache, dict(mut["pab"])), ustate
 
         # zero-init cache with the record variant's collection structure —
         # position 0 of every period recomputes all kinds, so the zeros are
@@ -623,7 +669,8 @@ class AnimationPipeline:
                 {"params": p}, x, t, cond, mutable=["pab"]),
             params["unet"], x0, t0)
         cache0 = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), dict(pab_shapes["pab"]))
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            _as_plain_dict(pab_shapes["pab"]))
         u0 = jnp.zeros((b, f, h, w, 4), latents.dtype)
         if extrap:
             neg1 = jnp.full((), -1, jnp.int32)

@@ -120,6 +120,13 @@ STEP_COST_MS = {
     "half_exact": 158.0,  # cond-half, no PAB reuse (plain cfg_cache body)
     "half_sp": 150.0,   # cond-half, spatial recomputed, temporal/cross reused
     "half_all": 105.0,  # cond-half, all attention kinds reused
+    # DeepCache trunk-reuse variants (deep_cache_interval > 1): only the
+    # outermost UNet level runs. Level 0 carries ~70 % of spatial-attention
+    # cost (seq 4096) but only ~5/17 of the conv/FF/motion cost.
+    # PROVISIONAL until TPU-measured (see docs/PERF.md).
+    "full_deep": 180.0,    # full CFG, trunk reused, level-0 attn recomputed
+    "half_sp_deep": 85.0,  # cond-half, trunk reused, level-0 spatial fresh
+    "half_all_deep": 50.0,  # cond-half, trunk + all attention reused
 }
 FIXED_OVERHEAD_MS = 400.0  # VAE decode + text encode + noise/interp
 
@@ -129,9 +136,11 @@ def schedule_step_classes(spec) -> Dict[str, int]:
     Mirrors _denoise_pab's warmup/period/tail-prefix/final-exact structure
     exactly (pipelines/animation.py)."""
     S = spec.num_inference_steps
+    deep_k = max(1, getattr(spec, "deep_cache_interval", 1))
     intervals = dict(spatial=max(1, spec.pab_spatial_interval),
                      cross=max(1, spec.pab_cross_interval),
-                     temporal=max(1, spec.pab_temporal_interval))
+                     temporal=max(1, spec.pab_temporal_interval),
+                     deep=deep_k)
     cfg_k = spec.cfg_cache_interval if spec.cfg_cache_interval > 1 else 1
     pab_on = any(v > 1 for v in intervals.values())
 
@@ -157,15 +166,20 @@ def schedule_step_classes(spec) -> Dict[str, int]:
     phases += [0] * fe
 
     counts = {"full": 0, "half_exact": 0, "half_sp": 0, "half_all": 0}
+    if deep_k > 1:
+        counts.update({"full_deep": 0, "half_sp_deep": 0,
+                       "half_all_deep": 0})
     for j in phases:
+        deep = deep_k > 1 and j % deep_k != 0
+        suffix = "_deep" if deep else ""
         if j % cfg_k == 0:
-            counts["full"] += 1
+            counts["full" + suffix] += 1
         else:
             reuse_sp = intervals["spatial"] > 1 and j % intervals["spatial"]
             if reuse_sp:
-                counts["half_all"] += 1
+                counts["half_all" + suffix] += 1
             else:
-                counts["half_sp"] += 1
+                counts["half_sp" + suffix] += 1
     assert sum(counts.values()) == S
     return counts
 

@@ -97,6 +97,55 @@ def test_reuse_reproduces_exact_and_reads_cache(unet_setup):
     assert not np.allclose(np.asarray(out_doc), np.asarray(out_rec))
 
 
+def test_deep_trunk_record_and_reuse(unet_setup):
+    """DeepCache-style trunk reuse (PabMode.reuse_deep): recording writes
+    the trunk output into the "pab" collection; reusing against a cache
+    recorded from the SAME input is bit-exact; the reuse path actually
+    reads the cache (doctoring it changes the output); and a trunk-reuse
+    application returns a SUBTREE of the cache (the sampler's _merge_cache
+    carries the untouched interior-site entries forward)."""
+    import dataclasses
+
+    cfg, params, sample, t, cond = unet_setup
+    rec_mode = dataclasses.replace(RECORD_ALL, record_deep=True)
+    rec = UNet3DConditionModel(cfg, pab=rec_mode)
+    out_rec, mut = rec.apply({"params": params}, sample, t, cond,
+                             mutable=["pab"])
+    cache = mut["pab"]
+    assert "deep_trunk" in cache
+
+    reuse_mode = dataclasses.replace(rec_mode, reuse_deep=True)
+    reuse = UNet3DConditionModel(cfg, pab=reuse_mode)
+    out_reuse, mut2 = reuse.apply({"params": params, "pab": cache},
+                                  sample, t, cond, mutable=["pab"])
+    np.testing.assert_array_equal(np.asarray(out_rec), np.asarray(out_reuse))
+
+    # the returned collection keeps the full tree structure (flax passes
+    # untouched entries through), so the sampler's scan carry stays uniform
+    assert (jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, dict(mut2["pab"])))
+        == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, dict(cache))))
+
+    # the trunk is genuinely SKIPPED, not recomputed: the reuse variant's
+    # lowered FLOPs must be well below the record variant's
+    def flops(unet, extra):
+        lowered = jax.jit(lambda p, s: unet.apply(
+            {"params": p, **extra}, s, t, cond, mutable=["pab"])).lower(
+            params, sample)
+        return lowered.cost_analysis()["flops"]
+
+    f_rec = flops(rec, {})
+    f_reuse = flops(reuse, {"pab": cache})
+    assert f_reuse < 0.7 * f_rec, (f_reuse, f_rec)
+
+    doctored = dict(cache)
+    doctored["deep_trunk"] = doctored["deep_trunk"] + 1.0
+    out_doc = reuse.apply({"params": params, "pab": doctored},
+                          sample, t, cond, mutable=["pab"])[0]
+    assert not np.allclose(np.asarray(out_doc), np.asarray(out_rec))
+
+
 def test_pipeline_pab_end_to_end():
     from followyourclick_tpu.pipelines.animation import (
         AnimationPipeline,

@@ -73,3 +73,27 @@ def test_estimated_fps_ordering():
     # the model should land near the measured BENCH_r03 numbers
     assert 1.5 < estimate_fps(exact) < 2.3          # measured 1.91
     assert 2.5 < estimate_fps(mid) < 3.4            # measured 2.97
+
+
+def test_deep_cache_counts():
+    """DeepCache trunk reuse (deep_cache_interval) step classes: aligned
+    with the shipped pab244∘cfg4 composition, deep=2 turns the j∈{1,3}
+    half_all steps into half_all_deep and j=2 stays half_sp (trunk
+    refreshes on even phases)."""
+    c = schedule_step_classes(spec(
+        pab_spatial_interval=2, pab_temporal_interval=4,
+        pab_cross_interval=4, cfg_cache_interval=4, deep_cache_interval=2))
+    assert c["full"] == 8 and c["half_sp"] == 6
+    assert c["half_all"] == 0 and c["half_all_deep"] == 11
+    assert sum(c.values()) == 25
+    # deep=4: the j=2 spatial-refresh step also reuses the trunk
+    c4 = schedule_step_classes(spec(
+        pab_spatial_interval=2, pab_temporal_interval=4,
+        pab_cross_interval=4, cfg_cache_interval=4, deep_cache_interval=4))
+    assert c4["half_sp"] == 0 and c4["half_sp_deep"] == 6
+    # deep steps are modeled cheaper
+    assert estimate_fps(spec(pab_spatial_interval=2, pab_temporal_interval=4,
+                             pab_cross_interval=4, cfg_cache_interval=4,
+                             deep_cache_interval=4)) > estimate_fps(
+        spec(pab_spatial_interval=2, pab_temporal_interval=4,
+             pab_cross_interval=4, cfg_cache_interval=4))

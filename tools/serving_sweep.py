@@ -93,6 +93,36 @@ SCHEDULES = {
                                   pab_warmup_steps=2,
                                   cfg_final_exact_steps=1,
                                   cfg_cache_extrapolate=True),
+    # DeepCache-style trunk reuse composed in (SampleSpec.deep_cache_interval,
+    # arXiv 2312.00858 family): trunk-reuse steps run only the outermost
+    # UNet level. Same 3-distinct-body compile cost as the shipped pab244
+    # composition when deep aligns with the lcm-4 period.
+    "pab244_deep2_cfg4_w2": dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=4,
+                                 pab_cross_interval=4, cfg_cache_interval=4,
+                                 deep_cache_interval=2, pab_warmup_steps=2),
+    "pab244_deep4_cfg4_w2": dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=4,
+                                 pab_cross_interval=4, cfg_cache_interval=4,
+                                 deep_cache_interval=4, pab_warmup_steps=2),
+    "pab244_deep4_cfg4_w4_fe1_ex": dict(pab_spatial_interval=2,
+                                        pab_temporal_interval=4,
+                                        pab_cross_interval=4,
+                                        cfg_cache_interval=4,
+                                        deep_cache_interval=4,
+                                        pab_warmup_steps=4,
+                                        cfg_final_exact_steps=1,
+                                        cfg_cache_extrapolate=True),
+    "pab366_deep6_cfg6_w4_fe1_ex": dict(pab_spatial_interval=3,
+                                        pab_temporal_interval=6,
+                                        pab_cross_interval=6,
+                                        cfg_cache_interval=6,
+                                        deep_cache_interval=6,
+                                        pab_warmup_steps=4,
+                                        cfg_final_exact_steps=1,
+                                        cfg_cache_extrapolate=True),
+    "deep2_cfg4_w2": dict(deep_cache_interval=2, cfg_cache_interval=4,
+                          pab_warmup_steps=2),
 }
 
 
