@@ -17,8 +17,14 @@ def enable(cache_dir: str | None = None) -> str:
     """Idempotently turn on JAX's persistent compilation cache."""
     import jax
 
-    d = cache_dir or os.environ.get(
-        "FYC_COMPILE_CACHE_DIR", "/tmp/fyc_jax_cache")
+    # default under the repo (gitignored), not /tmp: the driver's round-end
+    # bench runs in a LATER process on the same checkout, and /tmp does not
+    # survive session restarts — a warm cache saves it ~10 min of relay
+    # compile per variant
+    repo_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache", "jax_compile")
+    d = cache_dir or os.environ.get("FYC_COMPILE_CACHE_DIR", repo_default)
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     # only persist compiles that are actually expensive

@@ -111,24 +111,25 @@ def drift_metrics(approx: np.ndarray, exact: np.ndarray) -> Dict[str, float]:
 
 # ── step-cost model for Pareto ranking without a TPU compile ─────────────
 #
-# v5e flagship step costs measured in BENCH_r03 (docs/PERF.md): a full
-# record-all CFG step, a cond-half step that recomputes spatial attention
-# only, and a cond-half step that reuses all attention kinds. Calibrated
-# from exact p50 8.38 s / cfg_cache3 5.97 s / pab244_cfg4 5.39 s.
+# v5e flagship step costs FIT from the round-4 measured p50s (docs/PERF.md
+# "Serving approximations"): exact 8.382 s, cfg_cache3 5.965, pab244_cfg4
+# 4.946, pab244_deep2_cfg4_w2 4.809, pab244_deep4_cfg4_w2 4.461 — the
+# five schedules give a consistent least-squares solution for the six step
+# classes + fixed overhead (residual < 5 ms).
 STEP_COST_MS = {
     "full": 330.0,      # full CFG, record-all (non-prefix-shared PAB body)
-    "half_exact": 158.0,  # cond-half, no PAB reuse (plain cfg_cache body)
+    "half_exact": 169.0,  # cond-half, no PAB reuse (plain cfg_cache body)
     "half_sp": 150.0,   # cond-half, spatial recomputed, temporal/cross reused
-    "half_all": 105.0,  # cond-half, all attention kinds reused
+    "half_all": 116.0,  # cond-half, all attention kinds reused
     # DeepCache trunk-reuse variants (deep_cache_interval > 1): only the
-    # outermost UNet level runs. Level 0 carries ~70 % of spatial-attention
-    # cost (seq 4096) but only ~5/17 of the conv/FF/motion cost.
-    # PROVISIONAL until TPU-measured (see docs/PERF.md).
-    "full_deep": 180.0,    # full CFG, trunk reused, level-0 attn recomputed
-    "half_sp_deep": 85.0,  # cond-half, trunk reused, level-0 spatial fresh
-    "half_all_deep": 50.0,  # cond-half, trunk + all attention reused
+    # outermost UNet level runs (conv_in, down block 0, last up block).
+    "full_deep": 190.0,    # full CFG, trunk reused (not yet measured;
+    # 2×half_sp_deep + record overhead — no shipped schedule hits it)
+    "half_sp_deep": 80.0,  # cond-half, trunk reused, level-0 spatial fresh
+    "half_all_deep": 63.0,  # cond-half, trunk + all attention reused
 }
-FIXED_OVERHEAD_MS = 400.0  # VAE decode + text encode + noise/interp
+FIXED_OVERHEAD_MS = 132.0  # VAE decode + text/noise prep (in-program the
+# decode overlaps far better than its 250 ms standalone time)
 
 
 def schedule_step_classes(spec) -> Dict[str, int]:

@@ -123,6 +123,26 @@ SCHEDULES = {
                                         cfg_cache_extrapolate=True),
     "deep2_cfg4_w2": dict(deep_cache_interval=2, cfg_cache_interval=4,
                           pab_warmup_steps=2),
+    "pab244_deep4_cfg4_w2_ex": dict(pab_spatial_interval=2,
+                                    pab_temporal_interval=4,
+                                    pab_cross_interval=4,
+                                    cfg_cache_interval=4,
+                                    deep_cache_interval=4,
+                                    pab_warmup_steps=2,
+                                    cfg_cache_extrapolate=True),
+    "pab244_deep4_cfg4_ex": dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=4,
+                                 pab_cross_interval=4,
+                                 cfg_cache_interval=4,
+                                 deep_cache_interval=4,
+                                 cfg_cache_extrapolate=True),
+    "pab244_deep2_cfg4_w2_ex": dict(pab_spatial_interval=2,
+                                    pab_temporal_interval=4,
+                                    pab_cross_interval=4,
+                                    cfg_cache_interval=4,
+                                    deep_cache_interval=2,
+                                    pab_warmup_steps=2,
+                                    cfg_cache_extrapolate=True),
 }
 
 
