@@ -22,9 +22,13 @@ the pipeline. Cold compiles of the PAB/stacked step-variant graphs cost
   - each opt-in variant runs only if elapsed time leaves room in the budget
     (``FYC_BENCH_BUDGET_S``, default 1500 s; skipped ones are recorded in
     ``optin_skipped``);
-  - the default run pays for at most ONE cold PAB-family compile — the best
-    composed serving schedule (PAB spatial-2/temporal-4/cross-4 ∘
-    cfg_cache4); the uniform PAB-2 variants are ``FYC_BENCH_FULL=1`` only.
+  - the default run measures TWO composed PAB-family schedules — the tuned
+    per-kind composition (PAB spatial-2/temporal-4/cross-4 ∘ cfg_cache4)
+    and the round-4 best serving line (the same PAB intervals ∘ DeepCache
+    trunk reuse every step outside the lcm-4 refresh ∘ extrapolated
+    CFG-uncond cache); cold compiles are amortized by the persistent
+    in-repo compile cache (utils/compile_cache.py). The uniform PAB-2
+    variants are ``FYC_BENCH_FULL=1`` only.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
 ``published: {}``). We compare against an estimated PyTorch+xformers A100
@@ -172,16 +176,25 @@ def main():
     # ── opt-in serving approximations, each under the wall-clock budget ──
     # (quality bounds for these schedules: tests/test_pab.py + docs/PERF.md)
     variants = [
-        # (key, spec, iters) — cheapest compile first; the composed
-        # per-kind schedule (PAB spatial-2/temporal-4/cross-4 ∘ cfg_cache4)
-        # is the best serving line (quality budget: tests/test_pab.py +
-        # docs/PERF.md), so it is the one opt-in PAB graph the default run
-        # pays a cold compile for
+        # (key, spec, iters) — cheapest compile first. Two PAB-family
+        # graphs by default: the tuned per-kind composition (the round-3
+        # line, kept for round-over-round comparability) and the round-4
+        # best serving schedule — DeepCache trunk reuse every step outside
+        # the lcm-4 refresh ∘ extrapolated CFG-uncond caching (quality
+        # budget: tests/test_pab.py + docs/PERF.md). Cold compiles are
+        # amortized by the in-repo persistent compile cache.
         ("cfg_cache3", spec.replace(cfg_cache_interval=3), n_iters),
         ("pab244_cfg4", spec.replace(pab_spatial_interval=2,
                                      pab_temporal_interval=4,
                                      pab_cross_interval=4,
                                      cfg_cache_interval=4), n_iters),
+        ("pab244_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
+                                              pab_temporal_interval=4,
+                                              pab_cross_interval=4,
+                                              cfg_cache_interval=4,
+                                              deep_cache_interval=4,
+                                              cfg_cache_extrapolate=True),
+         n_iters),
     ]
     if full:
         variants += [

@@ -62,7 +62,9 @@ def test_headline_emitted_first_and_every_line_parseable(
     # last line carries the opt-in results and stays driver-parseable
     last = lines[-1]
     assert "optin_cfg_cache3_fps" in last
-    assert "optin_pab244_cfg4_fps" in last  # the default composed schedule
+    assert "optin_pab244_cfg4_fps" in last  # the round-3 composed schedule
+    # the round-4 best serving line (DeepCache ∘ PAB ∘ extrapolated cache)
+    assert "optin_pab244_deep4_cfg4_ex_fps" in last
     # the uniform PAB variants are FYC_BENCH_FULL-only, recorded one skip
     # entry per variant key (ADVICE r03)
     assert any(s.startswith("pab_222 ") for s in last["optin_skipped"])

@@ -295,12 +295,14 @@ def test_pab_cfg_composed_schedule_quality_budget():
     differ from it (a spec-plumbing break that silently disables the
     approximation also fails).
 
-    Measured on this workload (docs/PERF.md "Serving quality budget"):
-    pab222∘cfg4 rel_l2=0.082 / 26.9 dB, pab244∘cfg4 rel_l2=0.080 / 27.1 dB
+    Measured on this workload (docs/PERF.md "Serving quality budget",
+    round-4 harness): pab222∘cfg4 rel_l2≈0.071, pab244∘cfg4 0.0656 / 27.9 dB
     (the tuned schedule reuses MORE attention yet drifts slightly LESS —
     its j=2 half-steps reuse temporal/cross outputs recorded on the full
-    CFG step); thresholds carry ~2x margin. PAB-family framing:
-    arXiv 2408.12588."""
+    CFG step), pab244∘deep4∘cfg4-extrapolated 0.0749 / 26.8 dB. Thresholds
+    are measured + ~30 % rel-l2 / measured − 3 dB (VERDICT r03 weak #3
+    asked for tight gates). PAB framing: arXiv 2408.12588; DeepCache trunk
+    reuse: arXiv 2312.00858 family."""
     from followyourclick_tpu.pipelines.animation import (
         AnimationPipeline,
         SampleSpec,
@@ -346,19 +348,28 @@ def test_pab_cfg_composed_schedule_quality_budget():
     # uniform PAB-2 composition AND the tuned per-kind schedule shipped as
     # the bench default (spatial-2 / temporal-4 / cross-4 — the PAB paper's
     # own per-kind ordering: cross/temporal attention drift slowest)
+    # (schedule overrides, rel-l2 ceiling, PSNR floor) — bounds are the
+    # round-4 measured drift + ~30 % / − 3 dB, per schedule
     schedules = {
-        "pab222_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=2,
-                            pab_cross_interval=2, cfg_cache_interval=4),
-        "pab244_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
-                            pab_cross_interval=4, cfg_cache_interval=4),
+        "pab222_cfg4": (dict(pab_spatial_interval=2, pab_temporal_interval=2,
+                             pab_cross_interval=2, cfg_cache_interval=4),
+                        0.085, 25.0),
+        "pab244_cfg4": (dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                             pab_cross_interval=4, cfg_cache_interval=4),
+                        0.085, 25.0),
+        "pab244_deep4_cfg4_ex": (
+            dict(pab_spatial_interval=2, pab_temporal_interval=4,
+                 pab_cross_interval=4, cfg_cache_interval=4,
+                 deep_cache_interval=4, cfg_cache_extrapolate=True),
+            0.097, 24.0),
     }
-    for name, kw in schedules.items():
+    for name, (kw, l2_max, psnr_min) in schedules.items():
         approx = run(SampleSpec(**base, **kw))
         diff = approx - exact
         rel_l2 = float(np.linalg.norm(diff) / (np.linalg.norm(exact) + 1e-12))
         psnr = 10 * np.log10(1.0 / max(float(np.mean(diff ** 2)), 1e-20))
-        assert rel_l2 <= 0.15, f"{name} drifted: rel_l2={rel_l2:.4f}"
-        assert psnr >= 22.0, f"{name} drifted: psnr={psnr:.2f} dB"
+        assert rel_l2 <= l2_max, f"{name} drifted: rel_l2={rel_l2:.4f}"
+        assert psnr >= psnr_min, f"{name} drifted: psnr={psnr:.2f} dB"
         # the schedule must be live — identical output means the opt-in
         # approximation flags silently stopped reaching the sampler
         assert rel_l2 > 1e-4, f"{name} inactive (output identical to exact)"

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCHEDULES = {
     # name: SampleSpec overrides
     "cfg_cache3": dict(cfg_cache_interval=3),
+    "pab222_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=2,
+                        pab_cross_interval=2, cfg_cache_interval=4),
     "pab244_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
                         pab_cross_interval=4, cfg_cache_interval=4),
     "pab244_cfg4_w2": dict(pab_spatial_interval=2, pab_temporal_interval=4,
