@@ -145,6 +145,15 @@ SCHEDULES = {
                                     deep_cache_interval=2,
                                     pab_warmup_steps=2,
                                     cfg_cache_extrapolate=True),
+    # temporal/cross pushed to 8 (the slowest-drifting kinds): the lcm-8
+    # period's j=4 full-CFG step reuses temporal+cross attention — one
+    # extra UNet body vs the shipped schedule
+    "pab288_deep4_cfg4_ex": dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=8,
+                                 pab_cross_interval=8,
+                                 cfg_cache_interval=4,
+                                 deep_cache_interval=4,
+                                 cfg_cache_extrapolate=True),
 }
 
 
