@@ -142,10 +142,10 @@ def main():
     if on_tpu:
         frames, height, width, steps, n_iters = 16, 512, 512, 25, 3
     else:  # CPU sanity fallback (config 1): tiny workload. steps must be
-        # >= cfg_cache warmup (2) + the composed lcm period (4) so the
-        # pab244_cfg4 opt-in variant actually exercises its schedule
-        # instead of degenerating to all-exact steps (ADVICE r03).
-        frames, height, width, steps, n_iters = 8, 256, 256, 8, 1
+        # >= cfg_cache warmup (2) + the widest composed lcm period (8, the
+        # pab288 variant) so every opt-in variant actually exercises its
+        # schedule instead of degenerating to all-exact steps (ADVICE r03).
+        frames, height, width, steps, n_iters = 8, 256, 256, 10, 1
 
     pipe = build_pipeline(dtype)
     b = 1
@@ -191,6 +191,16 @@ def main():
         ("pab244_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
                                               pab_temporal_interval=4,
                                               pab_cross_interval=4,
+                                              cfg_cache_interval=4,
+                                              deep_cache_interval=4,
+                                              cfg_cache_extrapolate=True),
+         n_iters),
+        # round-4 best serving line: temporal/cross reuse pushed to 8 (the
+        # two slowest-drifting kinds) — 4.23 f/s measured, drift within
+        # noise of the 244 composition (tests/test_pab.py)
+        ("pab288_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
+                                              pab_temporal_interval=8,
+                                              pab_cross_interval=8,
                                               cfg_cache_interval=4,
                                               deep_cache_interval=4,
                                               cfg_cache_extrapolate=True),

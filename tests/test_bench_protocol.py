@@ -63,8 +63,10 @@ def test_headline_emitted_first_and_every_line_parseable(
     last = lines[-1]
     assert "optin_cfg_cache3_fps" in last
     assert "optin_pab244_cfg4_fps" in last  # the round-3 composed schedule
-    # the round-4 best serving line (DeepCache ∘ PAB ∘ extrapolated cache)
+    # the round-4 DeepCache ∘ PAB ∘ extrapolated-cache lines, incl. the
+    # best serving schedule (temporal/cross reuse pushed to 8)
     assert "optin_pab244_deep4_cfg4_ex_fps" in last
+    assert "optin_pab288_deep4_cfg4_ex_fps" in last
     # the uniform PAB variants are FYC_BENCH_FULL-only, recorded one skip
     # entry per variant key (ADVICE r03)
     assert any(s.startswith("pab_222 ") for s in last["optin_skipped"])

@@ -362,6 +362,13 @@ def test_pab_cfg_composed_schedule_quality_budget():
                  pab_cross_interval=4, cfg_cache_interval=4,
                  deep_cache_interval=4, cfg_cache_extrapolate=True),
             0.097, 24.0),
+        # round-4 best serving line (4.23 f/s measured on v5e): temporal and
+        # cross — the two slowest-drifting kinds — pushed to 8
+        "pab288_deep4_cfg4_ex": (
+            dict(pab_spatial_interval=2, pab_temporal_interval=8,
+                 pab_cross_interval=8, cfg_cache_interval=4,
+                 deep_cache_interval=4, cfg_cache_extrapolate=True),
+            0.099, 23.5),
     }
     for name, (kw, l2_max, psnr_min) in schedules.items():
         approx = run(SampleSpec(**base, **kw))
