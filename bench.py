@@ -141,13 +141,17 @@ def main():
 
     cache_dir = enable_cache()  # reuse executables across bench/tool processes
     # surface persistent-cache hits/misses on stderr so a driver run that
-    # pays cold relay compiles is diagnosable from its log (VERDICT r04 #1)
+    # pays cold relay compiles is diagnosable from its log (VERDICT r04 #1).
+    # Filtered to the cache events themselves — DEBUG on these modules emits
+    # a line per jit call otherwise.
     h = logging.StreamHandler(sys.stderr)
     h.setFormatter(logging.Formatter("# cache: %(message)s"))
+    h.addFilter(lambda rec: "PERSISTENT COMPILATION CACHE" in rec.getMessage())
     for name in ("jax._src.compilation_cache", "jax._src.compiler"):
         lg = logging.getLogger(name)
         lg.setLevel(logging.DEBUG)
         lg.addHandler(h)
+        lg.propagate = False
     n_entries = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     print(f"# compile cache: {cache_dir} ({n_entries} entries)",
           file=sys.stderr, flush=True)

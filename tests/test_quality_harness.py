@@ -75,6 +75,54 @@ def test_estimated_fps_ordering():
     assert 2.5 < estimate_fps(mid) < 3.4            # measured 2.97
 
 
+def test_per_kind_reuse_depth_resolved():
+    """Round-5 refit (VERDICT r04 weak #5): the model must distinguish
+    pab288 from pab244 (the old per-class model predicted zero gain; the
+    chip gave +3 %). pab288's lcm-8 schedule turns the j≡4 (mod 8)
+    full-CFG steps into full_tcr steps (temporal/cross reused), which the
+    structural model prices 2·tc_ms cheaper each."""
+    from followyourclick_tpu.utils.quality import estimate_clip_seconds
+
+    base = dict(pab_spatial_interval=2, cfg_cache_interval=4,
+                deep_cache_interval=4)
+    s244 = spec(**base, pab_temporal_interval=4, pab_cross_interval=4)
+    s288 = spec(**base, pab_temporal_interval=8, pab_cross_interval=8)
+    c244 = schedule_step_classes(s244)
+    c288 = schedule_step_classes(s288)
+    assert "full_tcr" not in c244
+    assert c288["full_tcr"] == 3  # j=4 of 3 full lcm-8 periods in 25 steps
+    gain_ms = (estimate_clip_seconds(s244) - estimate_clip_seconds(s288)) * 1e3
+    # measured gap: 3.896 - 3.779 = 117 ms; model must land near it
+    assert 80 < gain_ms < 160, gain_ms
+
+
+def test_model_matches_measured_p50s():
+    """The fitted primitives must reproduce the measured flagship p50s
+    within 1 % (tools/fit_cost_model.py residuals; docs/PERF.md)."""
+    from followyourclick_tpu.utils.quality import estimate_clip_seconds
+
+    measured = {
+        (): 8.382,
+        ("cfg3",): 5.965,
+        ("pab244", "cfg4"): 4.946,
+        ("pab288", "deep4", "cfg4"): 3.779,
+    }
+    kw_map = {
+        (): {},
+        ("cfg3",): dict(cfg_cache_interval=3),
+        ("pab244", "cfg4"): dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=4,
+                                 pab_cross_interval=4, cfg_cache_interval=4),
+        ("pab288", "deep4", "cfg4"): dict(
+            pab_spatial_interval=2, pab_temporal_interval=8,
+            pab_cross_interval=8, cfg_cache_interval=4,
+            deep_cache_interval=4),
+    }
+    for key, p50 in measured.items():
+        pred = estimate_clip_seconds(spec(**kw_map[key]))
+        assert abs(pred - p50) / p50 < 0.01, (key, pred, p50)
+
+
 def test_deep_cache_counts():
     """DeepCache trunk reuse (deep_cache_interval) step classes: aligned
     with the shipped pab244∘cfg4 composition, deep=2 turns the j∈{1,3}

@@ -52,10 +52,11 @@ def main(argv=None):
                       num_inference_steps=steps, guidance_scale=8.0,
                       use_interpolate_noise=True, **kw)
     t0 = time.perf_counter()
-    p50, checksum = bench.time_spec(pipe, spec, 1, args.iters)
+    p50, checksum, compile_s = bench.time_spec(pipe, spec, 1, args.iters)
     print(json.dumps({
         "schedule": args.name or "custom", "overrides": kw,
         "fps": round(frames / p50, 3), "p50_s": round(p50, 3),
+        "compile_s": round(compile_s, 1),
         "compile_plus_run_s": round(time.perf_counter() - t0, 1),
         "workload": f"{frames}f_{px}px_{steps}steps_cfg",
         "backend": jax.default_backend(),

@@ -165,6 +165,9 @@ def main(argv=None):
     ap.add_argument("--shape", choices=["tiny", "flagship"], default="tiny")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of schedule names to run")
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0],
+                    help="pipeline init seeds; >1 quantifies the drift "
+                    "spread over random-init weights (VERDICT r04 weak #4)")
     args = ap.parse_args(argv)
 
     if args.shape == "tiny":
@@ -199,37 +202,52 @@ def main(argv=None):
             else jnp.float32
     hl = px // 8
 
-    t0 = time.time()
-    pipe = build_quality_pipeline(args.shape, dtype=dtype)
-    print(f"# pipeline built in {time.time() - t0:.0f}s", file=sys.stderr)
-
     base = dict(video_length=frames, height=px, width=px,
                 num_inference_steps=args.steps, guidance_scale=8.0,
                 use_interpolate_noise=True)
-    t0 = time.time()
-    exact = run_schedule(pipe, SampleSpec(**base), frames, (hl, hl))
-    print(f"# exact run in {time.time() - t0:.0f}s", file=sys.stderr)
-
     names = args.only if args.only else list(SCHEDULES)
+    per_seed = {name: [] for name in names}
     rows = []
-    for name in names:
-        kw = SCHEDULES[name]
-        spec = SampleSpec(**base, **kw)
+    for seed in args.seeds:
         t0 = time.time()
-        approx = run_schedule(pipe, spec, frames, (hl, hl))
-        dt = time.time() - t0
-        m = drift_metrics(approx, exact)
-        flagship_spec = SampleSpec(video_length=16, height=512, width=512,
-                                   num_inference_steps=25,
-                                   guidance_scale=8.0, **kw)
-        row = dict(schedule=name, **m,
-                   est_v5e_fps=round(estimate_fps(flagship_spec), 2),
-                   step_classes=schedule_step_classes(flagship_spec),
-                   run_s=round(dt, 1))
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        pipe = build_quality_pipeline(args.shape, dtype=dtype, seed=seed)
+        print(f"# pipeline (seed {seed}) built in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        exact = run_schedule(pipe, SampleSpec(**base), frames, (hl, hl))
+        print(f"# exact run in {time.time() - t0:.0f}s", file=sys.stderr)
 
-    ok = [r for r in rows if r["rel_l2"] <= args.cap]
+        for name in names:
+            kw = SCHEDULES[name]
+            spec = SampleSpec(**base, **kw)
+            t0 = time.time()
+            approx = run_schedule(pipe, spec, frames, (hl, hl))
+            dt = time.time() - t0
+            m = drift_metrics(approx, exact)
+            per_seed[name].append(m["rel_l2"])
+            flagship_spec = SampleSpec(video_length=16, height=512,
+                                       width=512, num_inference_steps=25,
+                                       guidance_scale=8.0, **kw)
+            row = dict(schedule=name, seed=seed, **m,
+                       est_v5e_fps=round(estimate_fps(flagship_spec), 2),
+                       step_classes=schedule_step_classes(flagship_spec),
+                       run_s=round(dt, 1))
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    if len(args.seeds) > 1:  # drift spread over random-init weights
+        for name in names:
+            v = per_seed[name]
+            print(json.dumps({
+                "schedule": name, "seeds": args.seeds,
+                "rel_l2_min": min(v), "rel_l2_max": max(v),
+                "rel_l2_mean": round(sum(v) / len(v), 4)}), flush=True)
+
+    best = {}
+    for r in rows:  # worst seed decides cap admission
+        b = best.setdefault(r["schedule"], dict(r))
+        b["rel_l2"] = max(b["rel_l2"], r["rel_l2"])
+    ok = [r for r in best.values() if r["rel_l2"] <= args.cap]
     ok.sort(key=lambda r: -r["est_v5e_fps"])
     print(json.dumps({"pareto_best_under_cap": ok[:3], "cap": args.cap}))
 
