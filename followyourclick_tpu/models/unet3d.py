@@ -80,6 +80,15 @@ class UNet3DConditionModel(nn.Module):
     # step variant (models/pab.py); None = exact path, zero overhead.
     pab: Optional[PabMode] = None
     dtype: jnp.dtype = jnp.float32
+    # Per-block gradient checkpointing: each down/mid/up block is its own
+    # remat region, so the backward keeps only block-boundary activations
+    # plus ONE block's internals live (vs the caller-side whole-apply
+    # checkpoint, whose backward recomputation approaches un-remat'd
+    # liveness — the reason the 24-frame reference recipe OOMed by 1.9 %
+    # on one 16 GB chip, docs/PERF.md "Training throughput"). Same total
+    # recompute as the whole-apply policy; callers enabling this should
+    # NOT also wrap apply in jax.checkpoint.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -174,6 +183,17 @@ class UNet3DConditionModel(nn.Module):
             return (cfg.use_motion_module
                     and res in tuple(cfg.motion_module_resolutions))
 
+        def maybe_remat(block_cls):
+            if not self.remat_blocks:
+                return block_cls
+            import jax
+
+            # prevent_cse=False: safe under jit (flax docs) and avoids the
+            # barrier ops that block XLA fusion across the remat boundary
+            return nn.remat(
+                block_cls, prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable)
+
         # ---- down / mid / up topology ----
         rev_channels = list(reversed(cfg.block_out_channels))
         n_skip = cfg.layers_per_block + 1  # skips per up block
@@ -189,10 +209,10 @@ class UNet3DConditionModel(nn.Module):
                 use_motion=use_motion(i) and not cfg.motion_module_decoder_only,
                 pab=self.pab, dtype=self.dtype, name=f"down_blocks_{i}")
             if block_type == "CrossAttnDownBlock3D":
-                return CrossAttnDownBlock3D(**common)(
+                return maybe_remat(CrossAttnDownBlock3D)(**common)(
                     s, emb, context, context_2, emb_frame0)
             elif block_type == "DownBlock3D":
-                return DownBlock3D(**common)(s, emb, emb_frame0)
+                return maybe_remat(DownBlock3D)(**common)(s, emb, emb_frame0)
             raise ValueError(block_type)
 
         def up_block(i: int, s, res):
@@ -208,15 +228,15 @@ class UNet3DConditionModel(nn.Module):
                 add_upsample=not is_final, use_motion=use_motion(level),
                 pab=self.pab, dtype=self.dtype, name=f"up_blocks_{i}")
             if block_type == "CrossAttnUpBlock3D":
-                return CrossAttnUpBlock3D(**common)(
+                return maybe_remat(CrossAttnUpBlock3D)(**common)(
                     s, res, emb, context, context_2, emb_frame0)
             elif block_type == "UpBlock3D":
-                return UpBlock3D(**common)(s, res, emb, emb_frame0)
+                return maybe_remat(UpBlock3D)(**common)(s, res, emb, emb_frame0)
             raise ValueError(block_type)
 
         def mid(s):
             if cfg.mid_block_type == "UNetMidBlock3DCrossAttn":
-                return UNetMidBlock3DCrossAttn(
+                return maybe_remat(UNetMidBlock3DCrossAttn)(
                     config=cfg, in_channels=cfg.block_out_channels[-1],
                     use_motion=(cfg.use_motion_module
                                 and cfg.motion_module_mid_block),

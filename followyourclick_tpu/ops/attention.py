@@ -79,6 +79,31 @@ def _xla_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, value)
 
 
+def _batch_chunked_attention(query, key, value, scale, chunk):
+    """Exact attention computed ``chunk`` batch rows at a time via lax.map.
+
+    Training memory lever (``FYC_ATTN_BATCH_CHUNK``): in the remat'd
+    backward of the level-0 spatial self-attention at the 24-frame
+    reference recipe shape, XLA materializes the full score tensor as an
+    HLO temp — f32[24,8,1792,1792] = 2.3 GB (+1.15 GB bf16), the single
+    largest allocation in the OOM dump. Batch rows (clip × frame) are
+    independent in spatial attention, so mapping over batch chunks is
+    bit-exact and divides the temp by (B / chunk); the serialized chunks
+    cost nothing at these sizes (the MXU is saturated per chunk).
+
+    Chunks are UNROLLED, not lax.map'd: a scan inside an nn.remat region
+    measured 66 % HBM fragmentation at the 24-frame shape (the loop
+    buffers pin allocator regions across the remat'd backward); unrolled
+    slices give the scheduler free ordering at a few extra HLO nodes."""
+    b = query.shape[0]
+    outs = [
+        _xla_attention(query[i:i + chunk], key[i:i + chunk],
+                       value[i:i + chunk], None, scale)
+        for i in range(0, b, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(jax.named_call, name="dot_product_attention")
 def dot_product_attention(
     query: jnp.ndarray,
@@ -143,4 +168,13 @@ def dot_product_attention(
         from followyourclick_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(query, key, value, scale=scale)
+    # training memory lever (see _batch_chunked_attention): chunk the batch
+    # axis of LARGE self-attention sites so the remat'd backward never
+    # materializes the full score temp. Opt-in via env; inert for serving.
+    chunk = int(os.environ.get("FYC_ATTN_BATCH_CHUNK", "0"))
+    if (chunk > 0 and bias is None
+            and query.shape[0] % chunk == 0 and query.shape[0] > chunk):
+        b, sq, h, d = query.shape
+        if b * h * sq * key.shape[1] * 4 > 256 * 1024 ** 2:  # fp32 scores
+            return _batch_chunked_attention(query, key, value, scale, chunk)
     return _xla_attention(query, key, value, bias, scale)

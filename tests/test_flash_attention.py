@@ -124,3 +124,46 @@ def test_dispatcher_uses_packed_for_temporal_shape():
     q = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 8, 40))
     out = dot_product_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_batch_chunked_attention_exact(monkeypatch):
+    """FYC_ATTN_BATCH_CHUNK (the 24-frame training memory lever,
+    docs/PERF.md): chunked self-attention is bit-exact vs the one-shot
+    path, engages only above the score-size threshold, and never engages
+    for biased or non-divisible batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.ops.attention import (
+        _batch_chunked_attention,
+        _xla_attention,
+        dot_product_attention,
+    )
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (8, 64, 2, 16))
+    k = jax.random.normal(kk, (8, 64, 2, 16))
+    v = jax.random.normal(kv, (8, 64, 2, 16))
+    ref = _xla_attention(q, k, v, None, 0.25)
+    out = _batch_chunked_attention(q, k, v, 0.25, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+    # dispatcher: below the 256 MB score threshold the chunk flag is inert
+    monkeypatch.setenv("FYC_ATTN_BATCH_CHUNK", "2")
+    small = dot_product_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(small),
+                               np.asarray(_xla_attention(q, k, v, None,
+                                                         16 ** -0.5)),
+                               atol=1e-6, rtol=1e-6)
+
+    # gradients flow through the chunked path (the lever exists FOR the
+    # backward) and match the one-shot gradients
+    def loss(fn):
+        return lambda q_: jnp.sum(fn(q_) ** 2)
+
+    g_ref = jax.grad(loss(lambda q_: _xla_attention(q_, k, v, None, 0.25)))(q)
+    g_chk = jax.grad(loss(
+        lambda q_: _batch_chunked_attention(q_, k, v, 0.25, 2)))(q)
+    np.testing.assert_allclose(np.asarray(g_chk), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)

@@ -89,6 +89,106 @@ def test_train_step_sharded(tiny_setup):
     dryrun_multichip(8)
 
 
+def test_dp_serving_sampler_collectives_negligible():
+    """Fleet-serving evidence (docs/PERF.md "Fleet serving"): under a pure
+    data-parallel mesh (clips sharded, params replicated) the compiled
+    sampler moves NO material data between devices — GSPMD inserts a
+    handful of tiny reshard all-to-alls (measured: 27 ops, largest
+    per-shard output 59 KB, ~1.1 MB total per program vs ~10 GB of
+    per-step HBM traffic), so N-chip DP serving throughput is
+    N × per-chip f/s with no meaningful ICI term."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.config import (
+        CLIPTextConfig,
+        InferenceConfig,
+        MotionModuleConfig,
+        UNet3DConfig,
+        VAEConfig,
+    )
+    from followyourclick_tpu.parallel.mesh import create_mesh
+    from followyourclick_tpu.pipelines.animation import (
+        AnimationPipeline,
+        SampleSpec,
+    )
+
+    cfg = InferenceConfig(
+        unet=UNet3DConfig(
+            sample_size=32, cross_attention_dim=768, attention_head_dim=8,
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            norm_num_groups=8,
+            motion_module=MotionModuleConfig(num_attention_heads=4),
+            use_fps_condition=True,
+            use_first_frame_mask_condition_concat=True),
+        vae=VAEConfig(block_out_channels=(32, 64, 64, 64),
+                      layers_per_block=1, norm_num_groups=8, sample_size=64),
+        clip_text=CLIPTextConfig(vocab_size=1000, hidden_size=768,
+                                 intermediate_size=512, num_hidden_layers=2,
+                                 num_attention_heads=4))
+    rng = jax.random.PRNGKey(0)
+    mesh = create_mesh(data=8, model=1)
+    b = 8  # one clip per device
+
+    from followyourclick_tpu.models.unet3d import UNetConditioning
+
+    with mesh:
+        pipe = AnimationPipeline(cfg, None, None, None, mesh=mesh)
+        ids0 = jnp.zeros((1, 77), jnp.int32)
+        sample0 = jnp.zeros((2, 2, 8, 8, 9))
+        cond0 = UNetConditioning(context=jnp.zeros((2, 77, 768)),
+                                 fps=jnp.full((2,), 8.0),
+                                 motion_score=jnp.full((2,), 20.0))
+        pipe.params = {  # replicated (no shard_params): pure DP
+            "unet": pipe.unet.init(rng, sample0, jnp.zeros((2,), jnp.int32),
+                                   cond0)["params"],
+            "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)),
+                                 rng)["params"],
+            "text_encoder": pipe.text_encoder.init(rng, ids0)["params"],
+        }
+        spec = SampleSpec(video_length=2, height=64, width=64,
+                          num_inference_steps=3, guidance_scale=7.5)
+        ids = jnp.zeros((b, 77), jnp.int32)
+        # .lower on the bound method drops self; go through the class attr
+        lowered = AnimationPipeline._sample_jit.lower(
+            pipe, pipe.params, ids, jnp.zeros_like(ids), rng, spec,
+            first_image_latents=jnp.zeros((b, 8, 8, 4)),
+            mask=jnp.ones((b, 8, 8, 1)),
+            fps=jnp.full((b,), 8.0), motion_score=jnp.full((b,), 20.0))
+        hlo = lowered.compile().as_text()
+
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "pred": 1, "s8": 1, "u8": 1, "f64": 8}
+    coll_re = re.compile(
+        r"= \(?((?:\w+\[[\d,]*\][^)]*?))\)? (all-reduce|all-gather"
+        r"|reduce-scatter|collective-permute|all-to-all"
+        r"|collective-broadcast)\(")
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    total_bytes, max_bytes, n_ops = 0, 0, 0
+    for ln in hlo.splitlines():
+        m = coll_re.search(ln)
+        if not m:
+            continue
+        n_ops += 1
+        for dt, dims in shape_re.findall(m.group(1)):
+            if dt not in dtype_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            sz = n * dtype_bytes[dt]
+            total_bytes += sz
+            max_bytes = max(max_bytes, sz)
+    # actual cross-device data movement must be immaterial: no single
+    # collective output ≥ 64 KB per shard, < 2 MB total per program
+    # (vs ~10 GB HBM traffic per denoise step)
+    assert max_bytes < 64 * 1024, (n_ops, max_bytes)
+    assert total_bytes < 2 * 1024 * 1024, (n_ops, total_bytes)
+
+
 def test_sampler_sharded_serving_matches_single_device():
     """Batched serving (BASELINE config 5): the full sampler under a
     data=4 x model=2 mesh — params TP-sharded, clips DP-sharded via the

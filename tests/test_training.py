@@ -338,3 +338,48 @@ def test_validation_schedule():
                rng=jax.random.PRNGKey(0),
                validation_fn=lambda step, params: calls.append(step))
     assert calls == [1, 3, 6]
+
+
+def test_remat_blocks_matches_plain(setup):
+    """Per-block gradient checkpointing (UNet3DConditionModel.remat_blocks
+    — the memory lever that fits the 24-frame reference recipe on one
+    chip, docs/PERF.md) must not change the forward output, the gradients,
+    or the parameter tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from followyourclick_tpu.models.unet3d import UNet3DConditionModel
+
+    unet = setup["unet"]
+    remat = UNet3DConditionModel(unet.config, remat_blocks=True)
+    params = setup["state"].params
+    b, f, h, w = setup["batch"].latents.shape[:4]
+    x = jnp.concatenate([setup["batch"].latents,
+                         jnp.ones((b, f, h, w, 5))], axis=-1)
+    t = jnp.full((b,), 500, jnp.int32)
+    cond_kw = dict(context=jnp.zeros((b, 77, unet.config.cross_attention_dim)),
+                   fps=jnp.full((b,), 8.0),
+                   motion_score=jnp.full((b,), 20.0))
+    from followyourclick_tpu.models.unet3d import UNetConditioning
+
+    cond = UNetConditioning(**cond_kw)
+
+    # identical param tree: remat params drop into the plain model unchanged
+    p1 = remat.init(jax.random.PRNGKey(0), x, t, cond)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p1))
+
+    out0 = unet.apply({"params": params}, x, t, cond)
+    out1 = remat.apply({"params": params}, x, t, cond)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x, t, cond) ** 2)
+
+    g0 = jax.grad(loss(unet))(params)
+    g1 = jax.grad(loss(remat))(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -154,6 +154,34 @@ SCHEDULES = {
                                  cfg_cache_interval=4,
                                  deep_cache_interval=4,
                                  cfg_cache_extrapolate=True),
+    # round-5 candidates from the refit cost model (tools/fit_cost_model.py
+    # predictions: deep8 4.81, sp4+deep8 4.87, sp4+deep4 4.29 f/s): trunk
+    # refresh pushed to every 8th step / spatial reuse pushed to 4
+    "pab288_deep8_cfg4_ex": dict(pab_spatial_interval=2,
+                                 pab_temporal_interval=8,
+                                 pab_cross_interval=8,
+                                 cfg_cache_interval=4,
+                                 deep_cache_interval=8,
+                                 cfg_cache_extrapolate=True),
+    "pab288_deep8_cfg4_w2_ex": dict(pab_spatial_interval=2,
+                                    pab_temporal_interval=8,
+                                    pab_cross_interval=8,
+                                    cfg_cache_interval=4,
+                                    deep_cache_interval=8,
+                                    pab_warmup_steps=2,
+                                    cfg_cache_extrapolate=True),
+    "pab488_deep4_cfg4_ex": dict(pab_spatial_interval=4,
+                                 pab_temporal_interval=8,
+                                 pab_cross_interval=8,
+                                 cfg_cache_interval=4,
+                                 deep_cache_interval=4,
+                                 cfg_cache_extrapolate=True),
+    "pab488_deep8_cfg4_ex": dict(pab_spatial_interval=4,
+                                 pab_temporal_interval=8,
+                                 pab_cross_interval=8,
+                                 cfg_cache_interval=4,
+                                 deep_cache_interval=8,
+                                 cfg_cache_extrapolate=True),
 }
 
 

@@ -44,7 +44,23 @@ def main(argv=None):
                     help="fp32 activations/weights in the forward (default "
                          "is bf16 mixed precision: bf16 compute, fp32 "
                          "master copies — the reference trains under AMP)")
+    ap.add_argument("--attn-chunk", type=int, default=0,
+                    help="chunk the batch axis of large self-attention "
+                         "sites (FYC_ATTN_BATCH_CHUNK): caps the remat'd "
+                         "backward's score temp at chunk/B of full size — "
+                         "with --remat-blocks, the second lever for the "
+                         "24-frame reference shape")
+    ap.add_argument("--remat-blocks", action="store_true",
+                    help="per-UNet-block gradient checkpointing instead of "
+                         "the whole-apply policy: the backward keeps only "
+                         "block boundaries + one block's internals live — "
+                         "the lever for the 24-frame reference shape "
+                         "(models/unet3d.py UNet3DConditionModel."
+                         "remat_blocks)")
     args = ap.parse_args(argv)
+
+    if args.attn_chunk:
+        os.environ["FYC_ATTN_BATCH_CHUNK"] = str(args.attn_chunk)
 
     import jax
     import jax.numpy as jnp
@@ -76,7 +92,8 @@ def main(argv=None):
     ucfg = UNet3DConfig()
     tcfg = CLIPTextConfig()
     compute_dtype = jnp.float32 if args.fp32_compute else jnp.bfloat16
-    unet = UNet3DConditionModel(ucfg, dtype=compute_dtype)
+    unet = UNet3DConditionModel(ucfg, dtype=compute_dtype,
+                                remat_blocks=args.remat_blocks)
     text = CLIPTextModel(tcfg)
     rng = jax.random.PRNGKey(0)
 
@@ -95,7 +112,10 @@ def main(argv=None):
                             if jnp.issubdtype(s.dtype, jnp.floating)
                             else s.dtype), text_shapes)["params"]
 
-    tc = ts.TrainConfig(adam_mu_dtype="bfloat16" if args.mu_bf16 else None)
+    # with per-block remat the outer whole-apply checkpoint is redundant
+    # recompute with no memory win — turn it off
+    tc = ts.TrainConfig(adam_mu_dtype="bfloat16" if args.mu_bf16 else None,
+                        gradient_checkpointing=not args.remat_blocks)
     if args.full_tree:
         state = ts.create_train_state(unet_params, tc)
         step = ts.train_step
@@ -143,7 +163,10 @@ def main(argv=None):
         "frames_per_s_per_chip": round(b * f / p50, 2),
         "workload": f"{args.height}x{args.width}_{f}f_b{b}"
                     + ("_fulltree" if args.full_tree else "_partitioned")
-                    + ("_mubf16" if args.mu_bf16 else ""),
+                    + ("_mubf16" if args.mu_bf16 else "")
+                    + ("_rematblocks" if args.remat_blocks else "")
+                    + (f"_attnchunk{args.attn_chunk}"
+                       if args.attn_chunk else ""),
         "backend": jax.default_backend(),
     }))
 
