@@ -93,14 +93,19 @@ def _batch_chunked_attention(query, key, value, scale, chunk):
 
     Chunks are UNROLLED, not lax.map'd: a scan inside an nn.remat region
     measured 66 % HBM fragmentation at the 24-frame shape (the loop
-    buffers pin allocator regions across the remat'd backward); unrolled
-    slices give the scheduler free ordering at a few extra HLO nodes."""
+    buffers pin allocator regions across the remat'd backward). Unrolled
+    chunks must then be explicitly SERIALIZED: without a data dependency
+    the scheduler overlaps all chunks and their score temps coexist
+    (measured: 4 × 588 MB live at once — the full-size temp again), so
+    each chunk's query is barrier-tied to the previous chunk's output."""
     b = query.shape[0]
-    outs = [
-        _xla_attention(query[i:i + chunk], key[i:i + chunk],
-                       value[i:i + chunk], None, scale)
-        for i in range(0, b, chunk)
-    ]
+    outs = []
+    for i in range(0, b, chunk):
+        q_i = query[i:i + chunk]
+        if outs:
+            q_i, _ = jax.lax.optimization_barrier((q_i, outs[-1]))
+        outs.append(_xla_attention(q_i, key[i:i + chunk],
+                                   value[i:i + chunk], None, scale))
     return jnp.concatenate(outs, axis=0)
 
 
