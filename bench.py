@@ -206,9 +206,20 @@ def main():
     # schedules run FIRST; the dominated round-over-round comparability lines
     # are FYC_BENCH_FULL-only.
     variants = [
-        # round-4 best serving line: PAB spatial-2 / temporal-8 / cross-8 ∘
+        # round-5 best serving line: PAB spatial-4 / temporal-8 / cross-8 ∘
         # DeepCache trunk reuse (lcm-4 refresh) ∘ extrapolated CFG-uncond
-        # cache — 4.23 f/s measured (docs/PERF.md)
+        # cache — 4.505 f/s measured; drift 0.056–0.077 over 4 seeds on the
+        # unified harness (docs/PERF.md "Serving quality budget")
+        ("pab488_deep4_cfg4_ex", spec.replace(pab_spatial_interval=4,
+                                              pab_temporal_interval=8,
+                                              pab_cross_interval=8,
+                                              cfg_cache_interval=4,
+                                              deep_cache_interval=4,
+                                              cfg_cache_extrapolate=True),
+         n_iters),
+        # round-4 best serving line: PAB spatial-2 / temporal-8 / cross-8 ∘
+        # DeepCache-4 ∘ extrapolated cache — 4.23 f/s measured; flagship
+        # drift 0.0815 (docs/PERF.md)
         ("pab288_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
                                               pab_temporal_interval=8,
                                               pab_cross_interval=8,

@@ -180,7 +180,9 @@ def _ln_ff_residual(block, h, dim, dtype, ln_name, ff_name):
     (ops/geglu.fused_ln_geglu): one HBM read of h, one write — the LN pass,
     the (rows, 2·inner) FF intermediate, and the residual add all stay in
     VMEM. Param tree identical to the modular path."""
-    if jax.default_backend() == "tpu":
+    from followyourclick_tpu.ops.fused import fused_kernels_enabled
+
+    if fused_kernels_enabled():
         from followyourclick_tpu.ops.geglu import fused_ln_geglu
 
         ls, lb = _LNParams(dim, name=ln_name)()
@@ -211,7 +213,9 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
         c = x.shape[-1]
-        if jax.default_backend() == "tpu":
+        from followyourclick_tpu.ops.fused import fused_kernels_enabled
+
+        if fused_kernels_enabled():
             from followyourclick_tpu.ops.geglu import fused_geglu
 
             w1, b1 = _DenseParams(c, inner * 2, name="proj")()

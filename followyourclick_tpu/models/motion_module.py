@@ -113,8 +113,10 @@ class TemporalAttention(nn.Module):
         # At C=1280 the unfused GEMMs are already MXU-shaped, so only the
         # smaller widths route here; LoRA/RoPE/cross/upcast variants keep the
         # modular path.
+        from followyourclick_tpu.ops.fused import fused_kernels_enabled
+
         use_fused = (
-            jax.default_backend() == "tpu"
+            fused_kernels_enabled()
             and context is None and not self.add_temporal_lora
             and not self.use_rope and not self.upcast_attention
             and inner_dim == c and self.query_dim == c and c < 1280)
@@ -202,9 +204,13 @@ class _TemporalAttnParams(nn.Module):
 def _fused_motion_block_enabled() -> bool:
     import os
 
+    from followyourclick_tpu.ops.fused import fused_kernels_enabled
+
+    if os.environ.get("FYC_DISABLE_FUSED_KERNELS", "") not in ("", "0"):
+        return False  # GSPMD-partitioned programs: see ops/fused.py
     if os.environ.get("FYC_FORCE_FUSED_MOTION", "") not in ("", "0"):
         return True  # tests: exercise the fused wiring off-TPU (interpret)
-    return jax.default_backend() == "tpu"
+    return fused_kernels_enabled()
 
 
 class TemporalTransformerBlock(nn.Module):

@@ -79,25 +79,31 @@ def _xla_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, value)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _batch_chunked_attention(query, key, value, scale, chunk):
-    """Exact attention computed ``chunk`` batch rows at a time via lax.map.
+    """Exact attention computed ``chunk`` batch rows at a time.
 
     Training memory lever (``FYC_ATTN_BATCH_CHUNK``): in the remat'd
     backward of the level-0 spatial self-attention at the 24-frame
     reference recipe shape, XLA materializes the full score tensor as an
     HLO temp — f32[24,8,1792,1792] = 2.3 GB (+1.15 GB bf16), the single
     largest allocation in the OOM dump. Batch rows (clip × frame) are
-    independent in spatial attention, so mapping over batch chunks is
-    bit-exact and divides the temp by (B / chunk); the serialized chunks
-    cost nothing at these sizes (the MXU is saturated per chunk).
+    independent in spatial attention, so chunking the batch is bit-exact
+    and divides the temp by (B / chunk); serialized chunks cost nothing
+    at these sizes (the MXU is saturated per chunk).
 
-    Chunks are UNROLLED, not lax.map'd: a scan inside an nn.remat region
-    measured 66 % HBM fragmentation at the 24-frame shape (the loop
-    buffers pin allocator regions across the remat'd backward). Unrolled
-    chunks must then be explicitly SERIALIZED: without a data dependency
-    the scheduler overlaps all chunks and their score temps coexist
-    (measured: 4 × 588 MB live at once — the full-size temp again), so
-    each chunk's query is barrier-tied to the previous chunk's output."""
+    Implementation notes, each variant measured at the 24-frame shape:
+    lax.map inside the nn.remat region → 66 % HBM fragmentation (loop
+    buffers pin allocator regions); plain unrolled slices → the scheduler
+    overlaps all chunks and their score temps coexist (4 × 588 MB);
+    forward-only barrier chaining → the BACKWARD chunks still overlap.
+    Hence custom_vjp: residuals are just (q, k, v) — scores are never
+    saved — and both passes chain each chunk on the previous chunk's
+    result via optimization_barrier to force sequential scheduling."""
+    return _chunked_fwd(query, key, value, scale, chunk)[0]
+
+
+def _chunked_fwd(query, key, value, scale, chunk):
     b = query.shape[0]
     outs = []
     for i in range(0, b, chunk):
@@ -106,7 +112,29 @@ def _batch_chunked_attention(query, key, value, scale, chunk):
             q_i, _ = jax.lax.optimization_barrier((q_i, outs[-1]))
         outs.append(_xla_attention(q_i, key[i:i + chunk],
                                    value[i:i + chunk], None, scale))
-    return jnp.concatenate(outs, axis=0)
+    return jnp.concatenate(outs, axis=0), (query, key, value)
+
+
+def _chunked_bwd(scale, chunk, res, g):
+    query, key, value = res
+    b = query.shape[0]
+    dqs, dks, dvs = [], [], []
+    for i in range(0, b, chunk):
+        q_i = query[i:i + chunk]
+        if dqs:  # serialize: chunk i's recompute waits on chunk i-1's grads
+            q_i, _ = jax.lax.optimization_barrier((q_i, dqs[-1]))
+        _, vjp = jax.vjp(
+            lambda a, b_, c: _xla_attention(a, b_, c, None, scale),
+            q_i, key[i:i + chunk], value[i:i + chunk])
+        dq, dk, dv = vjp(g[i:i + chunk])
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    return (jnp.concatenate(dqs, axis=0), jnp.concatenate(dks, axis=0),
+            jnp.concatenate(dvs, axis=0))
+
+
+_batch_chunked_attention.defvjp(_chunked_fwd, _chunked_bwd)
 
 
 @functools.partial(jax.named_call, name="dot_product_attention")
@@ -140,7 +168,11 @@ def dot_product_attention(
     if impl == "flash":
         use_flash = bias is None
     elif impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        from followyourclick_tpu.ops.fused import fused_kernels_enabled
+
+        # Pallas picks require the central gate: Mosaic custom calls
+        # cannot be GSPMD-auto-partitioned (ops/fused.py)
+        on_tpu = fused_kernels_enabled()
         b, sq, h, d = query.shape
         sk = key.shape[1]
         # Tiny-seq temporal attention with a huge folded batch (the motion

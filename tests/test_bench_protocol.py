@@ -70,6 +70,7 @@ def test_headline_emitted_first_and_every_line_parseable(
     assert first.pab_spatial_interval == 1
     # last line carries the opt-in results and stays driver-parseable
     last = lines[-1]
+    assert "optin_pab488_deep4_cfg4_ex_fps" in last
     assert "optin_pab288_deep4_cfg4_ex_fps" in last
     assert "optin_pab244_deep4_cfg4_ex_fps" in last
     # dominated + FULL-only lines each record one skip entry
@@ -86,13 +87,16 @@ def test_flagship_serving_lines_run_first_best_first(fake_bench, capsys,
     bench, calls = fake_bench
     monkeypatch.delenv("FYC_BENCH_FULL", raising=False)
     bench.main()
-    # call 0 = exact headline; call 1 = pab288 (the round-4 best line);
-    # call 2 = pab244_deep (the quality-bounded headline schedule)
+    # call 0 = exact headline; call 1 = pab488 (round-5 best, 4.505 f/s);
+    # call 2 = pab288 (round-4 best); call 3 = pab244_deep
+    assert calls[1].pab_spatial_interval == 4
     assert calls[1].pab_temporal_interval == 8
     assert calls[1].deep_cache_interval == 4
     assert calls[1].cfg_cache_extrapolate
-    assert calls[2].pab_temporal_interval == 4
-    assert calls[2].deep_cache_interval == 4
+    assert calls[2].pab_spatial_interval == 2
+    assert calls[2].pab_temporal_interval == 8
+    assert calls[3].pab_temporal_interval == 4
+    assert calls[3].deep_cache_interval == 4
 
 
 def test_dominated_and_ref_default_gated_behind_full_flag(

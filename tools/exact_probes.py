@@ -11,6 +11,10 @@ Two named buckets from the roofline audit (docs/PERF.md):
       hot shapes (the compiler-flag sweep and direct/GN-fused/9-dot Pallas
       convs were measured negative in rounds 3–3b).
 
+Measurement protocol: each op is repeated REPS times INSIDE one jitted
+fori_loop with a data dependency chaining iterations (the axon relay costs
+~24 ms per dispatch, which would swamp per-op costs measured call-by-call).
+
 Run on the chip:  python tools/exact_probes.py
 """
 
@@ -23,99 +27,100 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPS = 50
 
-def timed(fn, *args, iters=20):
+
+def timed_chain(step, x0, iters=3):
+    """Median seconds for REPS chained applications of ``step`` (one
+    dispatch). ``step`` must map its input to a same-shaped output."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # force real execution through the axon relay: reduce to a scalar
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    s = float(jax.numpy.sum(out if not isinstance(out, tuple) else out[0]))
-    dt = (time.perf_counter() - t0) / iters
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, REPS, lambda i, y: step(y), x)
+
+    out = run(x0)
+    s = float(jnp.sum(out))  # force full execution through the relay
     assert s == s, "NaN"
-    return dt * 1e3
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s = float(jnp.sum(run(x0)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / REPS
 
 
 def conv_probe():
-    import jax
     import jax.numpy as jnp
     from jax import lax
 
     # hot conv shapes per CFG step (B = 2 CFG × 16 frames), flagship widths
     shapes = [
-        (32, 64, 64, 320, 320),
-        (32, 32, 32, 640, 640),
-        (32, 16, 16, 1280, 1280),
-        (32, 8, 8, 1280, 1280),
+        (32, 64, 64, 320),
+        (32, 32, 32, 640),
+        (32, 16, 16, 1280),
+        (32, 8, 8, 1280),
     ]
     rows = []
-    for b, h, w, cin, cout in shapes:
-        x = jnp.ones((b, h, w, cin), jnp.bfloat16)
-        k = jnp.ones((3, 3, cin, cout), jnp.bfloat16) * 1e-3
+    for b, h, w, c in shapes:
+        x = jnp.full((b, h, w, c), 0.01, jnp.bfloat16)
+        k = jnp.full((3, 3, c, c), 1e-4, jnp.bfloat16)
+        xc = jnp.full((b, c, h, w), 0.01, jnp.bfloat16)
+        kc = jnp.full((c, c, 3, 3), 1e-4, jnp.bfloat16)
 
-        @jax.jit
-        def nhwc(x, k):
-            return lax.conv_general_dilated(
-                x, k, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        nhwc = timed_chain(
+            lambda y: lax.conv_general_dilated(
+                y, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), x)
+        nchw = timed_chain(
+            lambda y: lax.conv_general_dilated(
+                y, kc, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW")), xc)
 
-        xc = jnp.ones((b, cin, h, w), jnp.bfloat16)
-        kc = jnp.ones((cout, cin, 3, 3), jnp.bfloat16) * 1e-3
-
-        @jax.jit
-        def nchw(x, k):
-            return lax.conv_general_dilated(
-                x, k, (1, 1), "SAME",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
-
-        @jax.jit
-        def im2col(x, k):
-            # SAME 3×3 via explicit patch extraction → one GEMM
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        def im2col(y):
+            yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
             cols = jnp.concatenate(
-                [xp[:, i:i + h, j:j + w, :] for i in range(3)
-                 for j in range(3)], axis=-1)  # (b,h,w,9*cin)
-            return cols.reshape(-1, 9 * cin) @ k.reshape(9 * cin, cout)
+                [yp[:, i:i + h, j:j + w, :] for i in range(3)
+                 for j in range(3)], axis=-1)
+            out = cols.reshape(-1, 9 * c) @ k.reshape(9 * c, c)
+            return out.reshape(b, h, w, c)
 
-        row = dict(shape=f"{b}x{h}x{w}x{cin}->{cout}",
-                   nhwc_ms=round(timed(nhwc, x, k), 3),
-                   nchw_ms=round(timed(nchw, xc, kc), 3),
-                   im2col_ms=round(timed(im2col, x, k), 3))
+        i2c = timed_chain(im2col, x)
+        row = dict(shape=f"{b}x{h}x{w}x{c}",
+                   nhwc_ms=round(nhwc * 1e3, 3),
+                   nchw_ms=round(nchw * 1e3, 3),
+                   im2col_ms=round(i2c * 1e3, 3))
         rows.append(row)
         print(json.dumps({"probe": "conv_layout", **row}), flush=True)
     return rows
 
 
 def gn_stats_probe():
-    import jax
     import jax.numpy as jnp
 
     # GN site shapes per CFG step at the flagship config: (rows, C, #sites)
-    # resnets have 2 GN each, spatial transformers 1 (proj_in GN);
-    # B = 32 (CFG×frames); counts from the 4-level topology at
-    # layers_per_block=2
     sites = [
-        (32 * 64 * 64, 320, 7),    # level-0 resnet/attn GNs
+        (32 * 64 * 64, 320, 7),
         (32 * 32 * 32, 640, 8),
         (32 * 16 * 16, 1280, 8),
-        (32 * 8 * 8, 1280, 9),     # level-3 + mid
+        (32 * 8 * 8, 1280, 9),
     ]
     groups = 32
     total = 0.0
     for rows_, c, n in sites:
-        x = jnp.ones((rows_, c), jnp.bfloat16)
+        x = jnp.full((rows_, c), 0.5, jnp.bfloat16)
 
-        @jax.jit
-        def stats(x):
+        def stats_step(y, rows_=rows_, c=c):
             # the pure stats pass: per-group mean + mean-of-squares — the
-            # only part of GN a producer-kernel epilogue could absorb
-            xf = x.astype(jnp.float32).reshape(rows_, groups, c // groups)
-            return jnp.stack([xf.mean((0, 2)), (xf * xf).mean((0, 2))])
+            # only part of GN a producer-kernel epilogue could absorb.
+            # Chained via a zero-cost dependency so iterations serialize.
+            yf = y.astype(jnp.float32).reshape(rows_, groups, c // groups)
+            s = yf.mean((0, 2)) + (yf * yf).mean((0, 2))
+            return y + (0.0 * s.sum()).astype(y.dtype)
 
-        ms = timed(stats, x)
+        ms = timed_chain(stats_step, x) * 1e3
         total += ms * n
         print(json.dumps({"probe": "gn_stats", "rows": rows_, "C": c,
                           "sites": n, "ms_per_site": round(ms, 4),
@@ -132,7 +137,7 @@ def main():
     from followyourclick_tpu.utils.compile_cache import enable
 
     enable()
-    print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+    print(f"# backend: {jax.default_backend()}", file=sys.stderr, flush=True)
     conv_probe()
     gn_stats_probe()
 
