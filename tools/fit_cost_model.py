@@ -47,6 +47,19 @@ MEASURED = {
              deep_cache_interval=4, cfg_cache_extrapolate=True), 3.779),
 }
 
+# Held-out validation rows — NOT in the fit. Including pab488 in the fit
+# destabilizes it (level-0 share pins at 0.9, RMS 11 → 33 ms): the
+# additive one-φ structure under-resolves spatial reuse on deep steps.
+# The 7-row fit over-predicts pab488's p50 by 182 ms (+5.1 %) — the
+# model is PESSIMISTIC about deep-spatial-reuse schedules, so it can
+# under-rank winners in that family but won't oversell one.
+VALIDATION = {
+    "pab488_deep4_cfg4_ex": (
+        dict(pab_spatial_interval=4, pab_temporal_interval=8,
+             pab_cross_interval=8, cfg_cache_interval=4,
+             deep_cache_interval=4, cfg_cache_extrapolate=True), 3.551),
+}
+
 CANDIDATES = {
     # deeper trunk reuse: refresh the trunk only every 8 steps
     "pab288_deep8_cfg4_ex": dict(
@@ -148,8 +161,18 @@ def main():
                       "measured_s": MEASURED["pab288_deep4_cfg4_ex"][1],
                       "loo_primitives": prims_loo}))
 
-    # candidate ranking under the FULL fit
+    # held-out validation rows (never in the fit)
     quality.COST_PRIMITIVES.update(prims)
+    for name, (kw, meas) in VALIDATION.items():
+        kw = {k: v for k, v in kw.items() if k != "cfg_cache_extrapolate"}
+        spec = SampleSpec(video_length=16, height=512, width=512,
+                          num_inference_steps=25, guidance_scale=8.0, **kw)
+        pred = quality.estimate_clip_seconds(spec)
+        print(json.dumps({"validation": name, "pred_s": round(pred, 3),
+                          "measured_s": meas,
+                          "bias_pct": round(100 * (pred - meas) / meas, 1)}))
+
+    # candidate ranking under the FULL fit
     for name, kw in CANDIDATES.items():
         kw = {k: v for k, v in kw.items() if k != "cfg_cache_extrapolate"}
         spec = SampleSpec(video_length=16, height=512, width=512,
