@@ -209,7 +209,8 @@ def main():
         # round-5 best serving line: PAB spatial-4 / temporal-8 / cross-8 ∘
         # DeepCache trunk reuse (lcm-4 refresh) ∘ extrapolated CFG-uncond
         # cache — 4.505 f/s measured; drift 0.056–0.077 over 4 seeds on the
-        # unified harness (docs/PERF.md "Serving quality budget")
+        # unified harness, 0.0897 at the flagship serving shape — the
+        # quality-bounded headline (docs/PERF.md "Serving quality budget")
         ("pab488_deep4_cfg4_ex", spec.replace(pab_spatial_interval=4,
                                               pab_temporal_interval=8,
                                               pab_cross_interval=8,
