@@ -183,14 +183,16 @@ def _ln_ff_residual(block, h, dim, dtype, ln_name, ff_name):
     from followyourclick_tpu.ops.fused import fused_kernels_enabled
 
     if fused_kernels_enabled():
+        from followyourclick_tpu.ops.fused import dp_wrap
         from followyourclick_tpu.ops.geglu import fused_ln_geglu
 
         ls, lb = _LNParams(dim, name=ln_name)()
         w1, b1, w2, b2 = _GEGLUParams(dim, name=ff_name)()
         cast = lambda t: t.astype(dtype)  # noqa: E731
         rows = h.reshape(-1, h.shape[-1])
-        out = fused_ln_geglu(rows, cast(ls), cast(lb), cast(w1), cast(b1),
-                             cast(w2), cast(b2), eps=1e-5, residual=True)
+        out = dp_wrap(fused_ln_geglu)(
+            rows, cast(ls), cast(lb), cast(w1), cast(b1),
+            cast(w2), cast(b2), eps=1e-5, residual=True)
         return out.reshape(h.shape)
     normed = _layer_norm(ln_name, dtype)(h)
     return GEGLUFeedForward(dim, dtype=dtype, name=ff_name)(normed) + h
@@ -216,13 +218,15 @@ class GEGLUFeedForward(nn.Module):
         from followyourclick_tpu.ops.fused import fused_kernels_enabled
 
         if fused_kernels_enabled():
+            from followyourclick_tpu.ops.fused import dp_wrap
             from followyourclick_tpu.ops.geglu import fused_geglu
 
             w1, b1 = _DenseParams(c, inner * 2, name="proj")()
             w2, b2 = _DenseParams(inner, self.dim, name="out")()
             cast = lambda t: t.astype(self.dtype)  # noqa: E731
             rows = x.reshape(-1, c)
-            y = fused_geglu(rows, cast(w1), cast(b1), cast(w2), cast(b2))
+            y = dp_wrap(fused_geglu)(
+                rows, cast(w1), cast(b1), cast(w2), cast(b2))
             return y.reshape(*x.shape[:-1], self.dim)
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)

@@ -131,7 +131,9 @@ class TemporalAttention(nn.Module):
             wo, bo = _DenseParams(inner_dim, self.query_dim,
                                   use_bias=True, name="to_out")()
             cast = lambda t: t.astype(self.dtype)  # noqa: E731
-            return fused_temporal_block(
+            from followyourclick_tpu.ops.fused import dp_wrap
+
+            return dp_wrap(fused_temporal_block)(
                 x, cast(wq), cast(wk), cast(wv), cast(wo), cast(bo),
                 scale=self.dim_head ** -0.5, heads=self.heads)
 
@@ -280,7 +282,9 @@ class TemporalTransformerBlock(nn.Module):
             w1, b1, w2, b2 = _GEGLUParams(self.dim, name="ff")()
             hosts += [lfs, lfb, w1, b1, w2, b2]
             cast = lambda t: t.astype(self.dtype)  # noqa: E731
-            return fused_motion_block(
+            from followyourclick_tpu.ops.fused import dp_wrap
+
+            return dp_wrap(fused_motion_block)(
                 h, pe.astype(self.dtype), tuple(cast(t) for t in hosts),
                 scale=self.attention_head_dim ** -0.5,
                 heads=self.num_attention_heads)

@@ -186,11 +186,13 @@ def dot_product_attention(
         # already with packed-XLA; the kernel goes further).
         if on_tpu and bias is None and sq == sk and sq <= 32 \
                 and sq * h <= 256:
+            from followyourclick_tpu.ops.fused import dp_wrap
             from followyourclick_tpu.ops.temporal_attention import (
                 temporal_attention,
             )
 
-            return temporal_attention(query, key, value, scale=scale)
+            return dp_wrap(temporal_attention, n_row_args=3)(
+                query, key, value, scale=scale)
         # Measured on v5e (unet fwd, 16f 512px): XLA's row-fused attention
         # beats the flash kernel even at the 64² hot shape (b·h=256,
         # s=4096, d=40) — 425.8 vs 462.9 ms/step whole-UNet — because XLA
@@ -203,8 +205,10 @@ def dot_product_attention(
                      and score_bytes > 12 * 1024 ** 3)
     if use_flash:
         from followyourclick_tpu.ops.flash_attention import flash_attention
+        from followyourclick_tpu.ops.fused import dp_wrap
 
-        return flash_attention(query, key, value, scale=scale)
+        return dp_wrap(flash_attention, n_row_args=3)(
+            query, key, value, scale=scale)
     # training memory lever (see _batch_chunked_attention): chunk the batch
     # axis of LARGE self-attention sites so the remat'd backward never
     # materializes the full score temp. Opt-in via env; inert for serving.

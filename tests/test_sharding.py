@@ -277,3 +277,42 @@ def test_sampler_sharded_serving_matches_single_device():
 
     assert video.shape == ref.shape
     np.testing.assert_allclose(video, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_dp_wrap_shard_map_plumbing():
+    """ops/fused.dp_wrap: inside data_parallel_kernels the call runs under
+    shard_map (dim 0 of row args sharded over 'data', weights replicated)
+    and matches the unwrapped result; outside the context it is the
+    identity wrapper. On CPU the fused kernels never dispatch, so this
+    pins the wrapper itself with a row-independent toy op; the Mosaic
+    composition is proven by tools/dp_kernels_check.py (1-chip equality +
+    AOT 2-device compile of the real fused_geglu kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from followyourclick_tpu.ops.fused import data_parallel_kernels, dp_wrap
+
+    def toy(x, w, b, scale=1.0):
+        return (x @ w + b) * scale
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    b = jnp.ones((4,))
+
+    assert dp_wrap(toy) is toy  # no context: identity
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    ref = toy(x, w, b, scale=0.5)
+    with data_parallel_kernels(mesh, "data"):
+        wrapped = dp_wrap(toy)
+        assert wrapped is not toy
+        out = jax.jit(wrapped, static_argnames="scale")(x, w, b, scale=0.5)
+        # multiple row args (q/k/v-style sites)
+        out3 = dp_wrap(lambda a, c, s: a + c * s, n_row_args=3)(x, x, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(x + x * x),
+                               atol=1e-6, rtol=1e-6)
+    assert dp_wrap(toy) is toy  # context restored
