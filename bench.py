@@ -205,47 +205,33 @@ def main():
     # flagship serving lines. Order now = value order: the best serving
     # schedules run FIRST; the dominated round-over-round comparability lines
     # are FYC_BENCH_FULL-only.
+    from followyourclick_tpu.pipelines.serving_schedules import (
+        apply_schedule,
+    )
+
     variants = [
         # round-5 best serving line: PAB spatial-4 / temporal-8 / cross-8 ∘
         # DeepCache trunk reuse (lcm-4 refresh) ∘ extrapolated CFG-uncond
         # cache — 4.505 f/s measured; drift 0.056–0.077 over 4 seeds on the
         # unified harness, 0.0897 at the flagship serving shape — the
         # quality-bounded headline (docs/PERF.md "Serving quality budget")
-        ("pab488_deep4_cfg4_ex", spec.replace(pab_spatial_interval=4,
-                                              pab_temporal_interval=8,
-                                              pab_cross_interval=8,
-                                              cfg_cache_interval=4,
-                                              deep_cache_interval=4,
-                                              cfg_cache_extrapolate=True),
-         n_iters),
+        ("pab488_deep4_cfg4_ex",
+         apply_schedule(spec, "pab488_deep4_cfg4_ex"), n_iters),
         # round-4 best serving line: PAB spatial-2 / temporal-8 / cross-8 ∘
         # DeepCache-4 ∘ extrapolated cache — 4.23 f/s measured; flagship
         # drift 0.0815 (docs/PERF.md)
-        ("pab288_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
-                                              pab_temporal_interval=8,
-                                              pab_cross_interval=8,
-                                              cfg_cache_interval=4,
-                                              deep_cache_interval=4,
-                                              cfg_cache_extrapolate=True),
-         n_iters),
+        ("pab288_deep4_cfg4_ex",
+         apply_schedule(spec, "pab288_deep4_cfg4_ex"), n_iters),
         # quality-bounded headline schedule (rel-l2 well inside the 0.10
         # cap at the flagship shape): PAB-244 ∘ DeepCache-4 ∘ cfg-cache-4-ex
-        ("pab244_deep4_cfg4_ex", spec.replace(pab_spatial_interval=2,
-                                              pab_temporal_interval=4,
-                                              pab_cross_interval=4,
-                                              cfg_cache_interval=4,
-                                              deep_cache_interval=4,
-                                              cfg_cache_extrapolate=True),
-         n_iters),
+        ("pab244_deep4_cfg4_ex",
+         apply_schedule(spec, "pab244_deep4_cfg4_ex"), n_iters),
     ]
     if full:
         variants += [
             # dominated lines, kept only for round-over-round comparability
-            ("cfg_cache3", spec.replace(cfg_cache_interval=3), n_iters),
-            ("pab244_cfg4", spec.replace(pab_spatial_interval=2,
-                                         pab_temporal_interval=4,
-                                         pab_cross_interval=4,
-                                         cfg_cache_interval=4), n_iters),
+            ("cfg_cache3", apply_schedule(spec, "cfg_cache3"), n_iters),
+            ("pab244_cfg4", apply_schedule(spec, "pab244_cfg4"), n_iters),
             ("pab_222", spec.replace(pab_spatial_interval=2,
                                      pab_temporal_interval=2,
                                      pab_cross_interval=2), n_iters),

@@ -119,6 +119,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "--cfg_cache_interval)")
     p.add_argument("--pab_warmup_steps", type=int, default=0,
                    help="exact full-compute steps before PAB reuse starts")
+    p.add_argument("--serving_schedule", type=str, default="",
+                   help="named composed schedule from pipelines/"
+                        "serving_schedules.py (e.g. pab488_deep4_cfg4_ex, "
+                        "the quality-bounded headline); applied on top of "
+                        "the individual interval flags")
     p.add_argument("--scheduler", type=str, default="ddim",
                    help="solver for the denoise scan (ddim | pndm | "
                         "pndm_prk | euler | euler_a | lms | dpm++ | dpm++3 "
@@ -218,6 +223,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                 pab_temporal_interval=args.pab_interval,
                 pab_warmup_steps=args.pab_warmup_steps,
                 scheduler=args.scheduler)
+            if args.serving_schedule:
+                from followyourclick_tpu.pipelines.serving_schedules import (
+                    apply_schedule,
+                )
+
+                spec = apply_schedule(spec, args.serving_schedule)
 
             seeds = mc.get("seed", [args.seed])
             if not isinstance(seeds, list):

@@ -51,6 +51,18 @@ class PabMode:
     # site, applied to the whole low-resolution pyramid.
     reuse_deep: bool = False
     record_deep: bool = False
+    # First-order trunk forecast (same TeaCache-style trick as the sampler's
+    # cfg_cache_extrapolate, applied to the DeepCache trunk): keep the last
+    # TWO recorded trunk outputs and on reuse steps return
+    # ``cur + coeff·(cur − prev)`` instead of the stale ``cur``. In steady
+    # state records are ``deep_interval`` steps apart, so the per-step slope
+    # is (cur − prev)/interval and the coefficient for a step ``age`` steps
+    # past the last refresh is the STATIC ratio age/interval — baked into
+    # each period position's graph, no dynamic state beyond the extra cache
+    # entry. During warmup (consecutive records, 1-step gap) the same ratio
+    # under-extrapolates, which degrades toward plain reuse — conservative.
+    deep_extrapolate: bool = False
+    deep_ex_coeff: float = 0.0
     # The UNet is being applied to the COND half of the CFG batch only
     # (the sampler's static CFG-uncond caching, cfg_cache_interval, composed
     # with PAB): cached values are full-CFG-batch shaped, so reuse returns
@@ -79,7 +91,13 @@ def pab_site(
     """
     if pab is None:
         return compute()
+    if kind == "deep" and pab.deep_extrapolate:
+        return _deep_ex_site(mdl, name, pab, compute)
     if pab.half:
+        if not (pab.reuse(kind) or pab.record(kind)):
+            # site's kind is not part of the reuse schedule (e.g. a PAB-less
+            # DeepCache ∘ cfg-cache composition): no cache entry exists
+            return compute()
         # cond-half application against a full-CFG-shaped cache
         assert mdl.has_variable("pab", name), (
             "half-batch PAB steps require a cache recorded by a full step")
@@ -104,4 +122,49 @@ def pab_site(
         # "pab" collection tree (the sampler threads it as a scan carry)
         var = mdl.variable("pab", name, lambda: out)
         var.value = out
+    return out
+
+
+def _deep_ex_site(mdl, name: str, pab: PabMode,
+                  compute: Callable[[], jnp.ndarray]) -> jnp.ndarray:
+    """Trunk cache with the first-order forecast (``PabMode.deep_extrapolate``).
+
+    Cache entries: ``name`` (last recorded trunk), ``name + "_prev"`` (the
+    record before it), ``name + "_valid"`` (scalar: has a prior record been
+    shifted into prev? — the very first record sets prev = cur so the first
+    period extrapolates with slope 0, i.e. plain reuse). Reuse steps never
+    write: the sampler's ``_merge_cache`` carries untouched entries forward,
+    and writing the forecast back would corrupt the slope base.
+    """
+    pname, vname = name + "_prev", name + "_valid"
+    has = mdl.has_variable("pab", name)
+    if pab.reuse("deep") and has:
+        cur = mdl.get_variable("pab", name)
+        prev = mdl.get_variable("pab", pname)
+        c32 = cur.astype(jnp.float32)
+        out = (c32 + pab.deep_ex_coeff * (c32 - prev.astype(jnp.float32))
+               ).astype(cur.dtype)
+        return out[cur.shape[0] // 2:] if pab.half else out
+    out = compute()
+    if pab.record("deep"):
+        if pab.half:
+            # cond-half refresh against a full-CFG-shaped cache (deep
+            # intervals shorter than the cfg-cache interval): the uncond
+            # half stays at its last full-step value in BOTH cur and prev,
+            # so its forecast slope is 0 there — conservative
+            assert has, ("half-batch deep refresh requires a cache recorded "
+                         "by a full step")
+            cur = mdl.get_variable("pab", name)
+            new_cur = jnp.concatenate([cur[: cur.shape[0] // 2], out], axis=0)
+        else:
+            cur = mdl.get_variable("pab", name) if has else out
+            new_cur = out
+        valid = (mdl.get_variable("pab", vname)
+                 if mdl.has_variable("pab", vname)
+                 else jnp.zeros((), jnp.float32))
+        prev_new = jnp.where(valid > 0, cur, new_cur)
+        one = jnp.ones((), jnp.float32)
+        mdl.variable("pab", name, lambda: new_cur).value = new_cur
+        mdl.variable("pab", pname, lambda: prev_new).value = prev_new
+        mdl.variable("pab", vname, lambda: one).value = one
     return out

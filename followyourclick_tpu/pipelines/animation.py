@@ -106,6 +106,16 @@ class SampleSpec:
     # cache intervals stay inside the quality budget (docs/PERF.md).
     cfg_cache_extrapolate: bool = flax.struct.field(pytree_node=False,
                                                     default=False)
+    # OPT-IN refinement of deep_cache: between trunk refreshes, linearly
+    # EXTRAPOLATE the cached trunk output from its last two recorded values
+    # instead of holding it constant (models/pab.py PabMode.deep_extrapolate
+    # — the cfg_cache_extrapolate forecast applied to the DeepCache trunk).
+    # Trunk staleness is the measured quality cliff of the deep schedules
+    # (docs/PERF.md: deep-8 fails the 0.10 cap on every seed without it);
+    # the forecast costs one extra trunk-sized cache entry plus an
+    # elementwise FMA on reuse steps.
+    deep_cache_extrapolate: bool = flax.struct.field(pytree_node=False,
+                                                     default=False)
 
 
 def _as_plain_dict(x):
@@ -574,12 +584,18 @@ class AnimationPipeline:
         cfg_k = (spec.cfg_cache_interval
                  if do_cfg and spec.cfg_cache_interval > 1 else 1)
         period = math.lcm(cfg_k, *intervals.values())
+        deep_ex = (spec.deep_cache_extrapolate and intervals["deep"] > 1)
         rec = PabMode(record_spatial=intervals["spatial"] > 1,
                       record_cross=intervals["cross"] > 1,
                       record_temporal=intervals["temporal"] > 1,
-                      record_deep=intervals["deep"] > 1)
+                      record_deep=intervals["deep"] > 1,
+                      deep_extrapolate=deep_ex)
 
         def mode_at(j: int, half: bool = False) -> PabMode:
+            # deep_ex_coeff = age/interval: the static first-order forecast
+            # ratio for this period position (models/pab.py _deep_ex_site).
+            # The period body unrolls positions anyway, so per-position
+            # constants add no step-variant compile cost.
             return _dc.replace(
                 rec, half=half,
                 reuse_spatial=(intervals["spatial"] > 1
@@ -589,7 +605,9 @@ class AnimationPipeline:
                 reuse_temporal=(intervals["temporal"] > 1
                                 and j % intervals["temporal"] != 0),
                 reuse_deep=(intervals["deep"] > 1
-                            and j % intervals["deep"] != 0))
+                            and j % intervals["deep"] != 0),
+                deep_ex_coeff=((j % intervals["deep"]) / intervals["deep"]
+                               if deep_ex else 0.0))
 
         unets = {}
 

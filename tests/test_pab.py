@@ -146,11 +146,72 @@ def test_deep_trunk_record_and_reuse(unet_setup):
     assert not np.allclose(np.asarray(out_doc), np.asarray(out_rec))
 
 
-def test_pipeline_pab_end_to_end():
-    from followyourclick_tpu.pipelines.animation import (
-        AnimationPipeline,
-        SampleSpec,
-    )
+def test_deep_trunk_extrapolation(unet_setup):
+    """First-order trunk forecast (PabMode.deep_extrapolate, models/pab.py
+    _deep_ex_site): the first record sets prev = cur (slope 0) so reuse at
+    any coefficient matches plain reuse bit-exactly; a second record shifts
+    the old trunk into prev; and with prev != cur a positive coefficient
+    produces an output different from plain (coeff-0) reuse while coeff 0
+    still matches it."""
+    import dataclasses
+
+    cfg, params, sample, t, cond = unet_setup
+    rec_mode = dataclasses.replace(RECORD_ALL, record_deep=True,
+                                   deep_extrapolate=True)
+    rec = UNet3DConditionModel(cfg, pab=rec_mode)
+    out_rec, mut = rec.apply({"params": params}, sample, t, cond,
+                             mutable=["pab"])
+    cache = dict(mut["pab"])
+    for k in ("deep_trunk", "deep_trunk_prev", "deep_trunk_valid"):
+        assert k in cache, k
+    np.testing.assert_array_equal(np.asarray(cache["deep_trunk"]),
+                                  np.asarray(cache["deep_trunk_prev"]))
+    assert float(cache["deep_trunk_valid"]) == 1.0
+
+    # slope 0 (first period): forecast reuse == plain reuse == exact output
+    reuse_mode = dataclasses.replace(rec_mode, reuse_deep=True,
+                                     deep_ex_coeff=0.75)
+    reuse = UNet3DConditionModel(cfg, pab=reuse_mode)
+    out_reuse = reuse.apply({"params": params, "pab": cache},
+                            sample, t, cond, mutable=["pab"])[0]
+    np.testing.assert_array_equal(np.asarray(out_rec), np.asarray(out_reuse))
+
+    # a second record from a different input shifts cur → prev
+    out_rec2, mut2 = rec.apply({"params": params, "pab": cache},
+                               sample + 0.05, t, cond, mutable=["pab"])
+    cache2 = dict(mut2["pab"])
+    np.testing.assert_array_equal(np.asarray(cache2["deep_trunk_prev"]),
+                                  np.asarray(cache["deep_trunk"]))
+    assert not np.allclose(np.asarray(cache2["deep_trunk"]),
+                           np.asarray(cache2["deep_trunk_prev"]))
+
+    # with a real slope: coeff 0 == plain reuse, coeff > 0 differs from it
+    plain_mode = dataclasses.replace(rec_mode, reuse_deep=True,
+                                     deep_extrapolate=False)
+    out_plain = UNet3DConditionModel(cfg, pab=plain_mode).apply(
+        {"params": params, "pab": cache2}, sample, t, cond,
+        mutable=["pab"])[0]
+    out_c0 = UNet3DConditionModel(
+        cfg, pab=dataclasses.replace(reuse_mode, deep_ex_coeff=0.0)).apply(
+        {"params": params, "pab": cache2}, sample, t, cond,
+        mutable=["pab"])[0]
+    np.testing.assert_allclose(np.asarray(out_c0), np.asarray(out_plain),
+                               atol=1e-6)
+    out_c = reuse.apply({"params": params, "pab": cache2},
+                        sample, t, cond, mutable=["pab"])[0]
+    assert not np.allclose(np.asarray(out_c), np.asarray(out_plain))
+
+    # reuse never writes: the trunk entries pass through UNCHANGED (writing
+    # the forecast back would corrupt the slope base of later steps)
+    _, mut3 = reuse.apply({"params": params, "pab": cache2},
+                          sample, t, cond, mutable=["pab"])
+    for k in ("deep_trunk", "deep_trunk_prev", "deep_trunk_valid"):
+        np.testing.assert_array_equal(np.asarray(dict(mut3["pab"])[k]),
+                                      np.asarray(cache2[k]))
+
+
+def _tiny_pipe():
+    from followyourclick_tpu.pipelines.animation import AnimationPipeline
 
     class FakeTokenizer:
         model_max_length = 77
@@ -184,6 +245,13 @@ def test_pipeline_pab_end_to_end():
         "vae": pipe.vae.init(rng, jnp.zeros((1, 64, 64, 3)), rng)["params"],
         "text_encoder": pipe.text_encoder.init(rng, ids)["params"],
     }
+    return pipe
+
+
+def test_pipeline_pab_end_to_end():
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+
+    pipe = _tiny_pipe()
 
     spec = SampleSpec(video_length=2, height=64, width=64,
                       num_inference_steps=5, guidance_scale=7.5,
@@ -202,6 +270,34 @@ def test_pipeline_pab_end_to_end():
     video1 = pipe(["a prompt"], spec=spec1, first_image_latents=first,
                   mask=mask, seed=0)
     assert np.isfinite(video1).all()
+
+
+def test_pipeline_deep_only_cfg_cache_runs():
+    """Regression: a PAB-less DeepCache ∘ cfg-cache composition (attention
+    kinds not in the reuse schedule) used to trip the half-batch cache
+    assert in pab_site — non-participating kinds must just compute. Also
+    covers deep_cache_extrapolate end-to-end (finite, and actually changes
+    the output vs the plain trunk cache)."""
+    from followyourclick_tpu.pipelines.animation import SampleSpec
+
+    pipe = _tiny_pipe()
+    first = jnp.zeros((1, 8, 8, 4))
+    mask = jnp.ones((1, 8, 8, 1))
+    base = dict(video_length=2, height=64, width=64,
+                num_inference_steps=6, guidance_scale=7.5)
+
+    plain = pipe(["a prompt"], spec=SampleSpec(
+        **base, deep_cache_interval=2, cfg_cache_interval=4),
+        first_image_latents=first, mask=mask, seed=0)
+    assert np.isfinite(plain).all()
+
+    dex = pipe(["a prompt"], spec=SampleSpec(
+        **base, deep_cache_interval=2, cfg_cache_interval=4,
+        deep_cache_extrapolate=True),
+        first_image_latents=first, mask=mask, seed=0)
+    assert np.isfinite(dex).all()
+    assert not np.allclose(np.asarray(dex), np.asarray(plain)), \
+        "trunk extrapolation had no effect on the sampled video"
 
 
 def test_half_mode_matches_cond_half(unet_setup):

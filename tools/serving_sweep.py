@@ -22,167 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCHEDULES = {
-    # name: SampleSpec overrides
-    "cfg_cache3": dict(cfg_cache_interval=3),
-    "pab222_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=2,
-                        pab_cross_interval=2, cfg_cache_interval=4),
-    "pab244_cfg4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
-                        pab_cross_interval=4, cfg_cache_interval=4),
-    "pab244_cfg4_w2": dict(pab_spatial_interval=2, pab_temporal_interval=4,
-                           pab_cross_interval=4, cfg_cache_interval=4,
-                           pab_warmup_steps=2),
-    "pab244_cfg4_w4": dict(pab_spatial_interval=2, pab_temporal_interval=4,
-                           pab_cross_interval=4, cfg_cache_interval=4,
-                           pab_warmup_steps=4),
-    "pab366_cfg6": dict(pab_spatial_interval=3, pab_temporal_interval=6,
-                        pab_cross_interval=6, cfg_cache_interval=6),
-    "pab366_cfg6_w2": dict(pab_spatial_interval=3, pab_temporal_interval=6,
-                           pab_cross_interval=6, cfg_cache_interval=6,
-                           pab_warmup_steps=2),
-    "pab366_cfg6_w4": dict(pab_spatial_interval=3, pab_temporal_interval=6,
-                           pab_cross_interval=6, cfg_cache_interval=6,
-                           pab_warmup_steps=4),
-    "pab266_cfg6_w2": dict(pab_spatial_interval=2, pab_temporal_interval=6,
-                           pab_cross_interval=6, cfg_cache_interval=6,
-                           pab_warmup_steps=2),
-    "pab366_cfg6_w2_fe1": dict(pab_spatial_interval=3,
-                               pab_temporal_interval=6,
-                               pab_cross_interval=6, cfg_cache_interval=6,
-                               pab_warmup_steps=2, cfg_final_exact_steps=1),
-    "pab488_cfg8_w2": dict(pab_spatial_interval=4, pab_temporal_interval=8,
-                           pab_cross_interval=8, cfg_cache_interval=8,
-                           pab_warmup_steps=2),
-    "pab488_cfg8_w4": dict(pab_spatial_interval=4, pab_temporal_interval=8,
-                           pab_cross_interval=8, cfg_cache_interval=8,
-                           pab_warmup_steps=4),
-    # deeper cfg-cache with fe=1: the cost model puts these ≥3.5 f/s on v5e
-    "pab488_cfg8_w2_fe1": dict(pab_spatial_interval=4,
-                               pab_temporal_interval=8,
-                               pab_cross_interval=8, cfg_cache_interval=8,
-                               pab_warmup_steps=2, cfg_final_exact_steps=1),
-    "pab488_cfg8_w4_fe1": dict(pab_spatial_interval=4,
-                               pab_temporal_interval=8,
-                               pab_cross_interval=8, cfg_cache_interval=8,
-                               pab_warmup_steps=4, cfg_final_exact_steps=1),
-    "pab366_cfg6_w4_fe1": dict(pab_spatial_interval=3,
-                               pab_temporal_interval=6,
-                               pab_cross_interval=6, cfg_cache_interval=6,
-                               pab_warmup_steps=4, cfg_final_exact_steps=1),
-    "pab266_cfg6_w2_fe1": dict(pab_spatial_interval=2,
-                               pab_temporal_interval=6,
-                               pab_cross_interval=6, cfg_cache_interval=6,
-                               pab_warmup_steps=2, cfg_final_exact_steps=1),
-    # first-order uncond forecast (SampleSpec.cfg_cache_extrapolate):
-    # same step classes/compute as the plain cache
-    "pab244_cfg4_ex": dict(pab_spatial_interval=2, pab_temporal_interval=4,
-                           pab_cross_interval=4, cfg_cache_interval=4,
-                           cfg_cache_extrapolate=True),
-    "pab366_cfg6_ex": dict(pab_spatial_interval=3, pab_temporal_interval=6,
-                           pab_cross_interval=6, cfg_cache_interval=6,
-                           cfg_cache_extrapolate=True),
-    "pab366_cfg6_w2_ex": dict(pab_spatial_interval=3,
-                              pab_temporal_interval=6,
-                              pab_cross_interval=6, cfg_cache_interval=6,
-                              pab_warmup_steps=2, cfg_cache_extrapolate=True),
-    "pab488_cfg8_w2_ex": dict(pab_spatial_interval=4,
-                              pab_temporal_interval=8,
-                              pab_cross_interval=8, cfg_cache_interval=8,
-                              pab_warmup_steps=2, cfg_cache_extrapolate=True),
-    "pab488_cfg8_w2_fe1_ex": dict(pab_spatial_interval=4,
-                                  pab_temporal_interval=8,
-                                  pab_cross_interval=8, cfg_cache_interval=8,
-                                  pab_warmup_steps=2,
-                                  cfg_final_exact_steps=1,
-                                  cfg_cache_extrapolate=True),
-    # DeepCache-style trunk reuse composed in (SampleSpec.deep_cache_interval,
-    # arXiv 2312.00858 family): trunk-reuse steps run only the outermost
-    # UNet level. Same 3-distinct-body compile cost as the shipped pab244
-    # composition when deep aligns with the lcm-4 period.
-    "pab244_deep2_cfg4_w2": dict(pab_spatial_interval=2,
-                                 pab_temporal_interval=4,
-                                 pab_cross_interval=4, cfg_cache_interval=4,
-                                 deep_cache_interval=2, pab_warmup_steps=2),
-    "pab244_deep4_cfg4_w2": dict(pab_spatial_interval=2,
-                                 pab_temporal_interval=4,
-                                 pab_cross_interval=4, cfg_cache_interval=4,
-                                 deep_cache_interval=4, pab_warmup_steps=2),
-    "pab244_deep4_cfg4_w4_fe1_ex": dict(pab_spatial_interval=2,
-                                        pab_temporal_interval=4,
-                                        pab_cross_interval=4,
-                                        cfg_cache_interval=4,
-                                        deep_cache_interval=4,
-                                        pab_warmup_steps=4,
-                                        cfg_final_exact_steps=1,
-                                        cfg_cache_extrapolate=True),
-    "pab366_deep6_cfg6_w4_fe1_ex": dict(pab_spatial_interval=3,
-                                        pab_temporal_interval=6,
-                                        pab_cross_interval=6,
-                                        cfg_cache_interval=6,
-                                        deep_cache_interval=6,
-                                        pab_warmup_steps=4,
-                                        cfg_final_exact_steps=1,
-                                        cfg_cache_extrapolate=True),
-    "deep2_cfg4_w2": dict(deep_cache_interval=2, cfg_cache_interval=4,
-                          pab_warmup_steps=2),
-    "pab244_deep4_cfg4_w2_ex": dict(pab_spatial_interval=2,
-                                    pab_temporal_interval=4,
-                                    pab_cross_interval=4,
-                                    cfg_cache_interval=4,
-                                    deep_cache_interval=4,
-                                    pab_warmup_steps=2,
-                                    cfg_cache_extrapolate=True),
-    "pab244_deep4_cfg4_ex": dict(pab_spatial_interval=2,
-                                 pab_temporal_interval=4,
-                                 pab_cross_interval=4,
-                                 cfg_cache_interval=4,
-                                 deep_cache_interval=4,
-                                 cfg_cache_extrapolate=True),
-    "pab244_deep2_cfg4_w2_ex": dict(pab_spatial_interval=2,
-                                    pab_temporal_interval=4,
-                                    pab_cross_interval=4,
-                                    cfg_cache_interval=4,
-                                    deep_cache_interval=2,
-                                    pab_warmup_steps=2,
-                                    cfg_cache_extrapolate=True),
-    # temporal/cross pushed to 8 (the slowest-drifting kinds): the lcm-8
-    # period's j=4 full-CFG step reuses temporal+cross attention — one
-    # extra UNet body vs the shipped schedule
-    "pab288_deep4_cfg4_ex": dict(pab_spatial_interval=2,
-                                 pab_temporal_interval=8,
-                                 pab_cross_interval=8,
-                                 cfg_cache_interval=4,
-                                 deep_cache_interval=4,
-                                 cfg_cache_extrapolate=True),
-    # round-5 candidates from the refit cost model (tools/fit_cost_model.py
-    # predictions: deep8 4.81, sp4+deep8 4.87, sp4+deep4 4.29 f/s): trunk
-    # refresh pushed to every 8th step / spatial reuse pushed to 4
-    "pab288_deep8_cfg4_ex": dict(pab_spatial_interval=2,
-                                 pab_temporal_interval=8,
-                                 pab_cross_interval=8,
-                                 cfg_cache_interval=4,
-                                 deep_cache_interval=8,
-                                 cfg_cache_extrapolate=True),
-    "pab288_deep8_cfg4_w2_ex": dict(pab_spatial_interval=2,
-                                    pab_temporal_interval=8,
-                                    pab_cross_interval=8,
-                                    cfg_cache_interval=4,
-                                    deep_cache_interval=8,
-                                    pab_warmup_steps=2,
-                                    cfg_cache_extrapolate=True),
-    "pab488_deep4_cfg4_ex": dict(pab_spatial_interval=4,
-                                 pab_temporal_interval=8,
-                                 pab_cross_interval=8,
-                                 cfg_cache_interval=4,
-                                 deep_cache_interval=4,
-                                 cfg_cache_extrapolate=True),
-    "pab488_deep8_cfg4_ex": dict(pab_spatial_interval=4,
-                                 pab_temporal_interval=8,
-                                 pab_cross_interval=8,
-                                 cfg_cache_interval=4,
-                                 deep_cache_interval=8,
-                                 cfg_cache_extrapolate=True),
-}
+from followyourclick_tpu.pipelines.serving_schedules import (  # noqa: E501,F401
+    SCHEDULES,
+)
 
 
 def main(argv=None):
