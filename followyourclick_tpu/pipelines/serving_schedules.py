@@ -209,6 +209,26 @@ SCHEDULES = {
                                        pab_warmup_steps=2,
                                        cfg_cache_extrapolate=True,
                                        deep_cache_extrapolate=True),
+    # round-5 second wave: deep-8 FAILED the cap even with the trunk
+    # forecast (rel-l2 0.102–0.125 over seeds 0–2), but deep-4 + dex came
+    # in at 0.045–0.059 — 23 % under the shipped pab488 headline at equal
+    # compute. Spend that headroom on attention-reuse depth instead
+    # (spatial 8; temporal/cross 16): trunk refresh cadence stays at the
+    # measured-safe interval 4.
+    "pab888_deep4dex_cfg4_ex": dict(pab_spatial_interval=8,
+                                    pab_temporal_interval=8,
+                                    pab_cross_interval=8,
+                                    cfg_cache_interval=4,
+                                    deep_cache_interval=4,
+                                    cfg_cache_extrapolate=True,
+                                    deep_cache_extrapolate=True),
+    "pab81616_deep4dex_cfg4_ex": dict(pab_spatial_interval=8,
+                                      pab_temporal_interval=16,
+                                      pab_cross_interval=16,
+                                      cfg_cache_interval=4,
+                                      deep_cache_interval=4,
+                                      cfg_cache_extrapolate=True,
+                                      deep_cache_extrapolate=True),
 }
 
 
